@@ -1,0 +1,162 @@
+"""Contract tests for the pinned pure kernels (SURVEY.md §5.4, §7.5.1-2).
+
+These run without Spark — the kernels are pure pandas/numpy.
+"""
+
+import pandas as pd
+import pytest
+
+from spiderspark.canon import (
+    canonicalize,
+    canonicalize_series,
+    crawl_delay_series,
+    extract_outlinks,
+    extract_text,
+    extract_text_series,
+    host_of,
+    parse_robots,
+    robots_allowed,
+)
+
+
+CANON_CASES = [
+    # (input, expected)
+    ("http://Example.COM/path", "http://example.com/path"),
+    ("HTTP://EXAMPLE.com:80/a", "http://example.com/a"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("https://example.com:8443/a", "https://example.com:8443/a"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com#frag", "http://example.com/"),
+    ("http://example.com/a/./b/../c", "http://example.com/a/c"),
+    ("http://example.com/../a", "http://example.com/a"),
+    ("http://example.com/%7Euser", "http://example.com/~user"),
+    ("http://example.com/%7euser", "http://example.com/~user"),
+    ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+    ("http://user:pw@example.com/x", "http://example.com/x"),
+    ("http://example.com./x", "http://example.com/x"),
+    ("  http://example.com/x  ", "http://example.com/x"),
+    ("example.com/x", "http://example.com/x"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?b=2&a=1"),  # query order kept
+    ("http://example.com/p?", "http://example.com/p"),
+    ("http://example.com/p?q=%41", "http://example.com/p?q=A"),
+    ("", ""),
+]
+
+
+@pytest.mark.parametrize("url,expected", CANON_CASES)
+def test_canonicalize_scalar(url, expected):
+    assert canonicalize(url) == expected
+
+
+def test_canonicalize_series_matches_scalar():
+    urls = pd.Series([u for u, _ in CANON_CASES])
+    out = canonicalize_series(urls)
+    assert list(out) == [e for _, e in CANON_CASES]
+
+
+def test_canonicalize_idempotent():
+    urls = pd.Series([u for u, _ in CANON_CASES if u.strip()])
+    once = canonicalize_series(urls)
+    twice = canonicalize_series(once)
+    assert list(once) == list(twice)
+
+
+def test_variants_collapse():
+    variants = [
+        "http://HOST3.example/p/1",
+        "http://host3.example:80/p/1",
+        "http://host3.example/p/./1",
+        "http://host3.example/q/../p/1",
+        "http://host3.example/p/%31",
+    ]
+    assert len(set(canonicalize_series(pd.Series(variants)))) == 1
+
+
+def test_host_of():
+    assert host_of("http://example.com:8080/x") == "example.com"
+    assert host_of("https://a.b.c/") == "a.b.c"
+    assert host_of("") == ""
+
+
+HTML_DOC = b"""<!DOCTYPE html><html><head>
+<title>T&amp;itle</title>
+<style>body { color: red; }</style>
+<script type="text/javascript">var x = "<p>not text</p>";</script>
+</head><body>
+<!-- a comment <p>hidden</p> -->
+<h1>Hello &lt;World&gt;</h1>
+<P CLASS="x">caf&#233; &#x41;B&nbsp;end</P>
+<a href="http://other.example/next">link text</a>
+</body></html>"""
+
+
+def test_extract_text_pinned():
+    # The pinned golden output — byte-for-byte.
+    assert (
+        extract_text(HTML_DOC)
+        == 'T&itle Hello <World> caf\xe9 AB end link text'
+    )
+
+
+def test_extract_text_series_matches_scalar():
+    s = extract_text_series(pd.Series([HTML_DOC, b"", b"<b>x</b>", None]))
+    assert list(s) == [extract_text(HTML_DOC), "", "x", ""]
+
+
+def test_extract_text_str_input():
+    assert extract_text("<i>a</i>  b") == "a b"
+
+
+def test_extract_outlinks():
+    html = (
+        b'<a href="http://a.example/1">x</a>'
+        b"<A HREF='/rel'>y</A>"
+        b'<a href="mailto:z@q">no</a>'
+        b'<a href="https://b.example/2?q=1">z</a>'
+    )
+    assert extract_outlinks(html, "http://base.example/dir/page") == [
+        "http://a.example/1",
+        "http://base.example/rel",
+        "https://b.example/2?q=1",
+    ]
+
+
+ROBOTS = """# comment
+User-agent: googlebot
+Disallow: /google-only
+
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Crawl-delay: 2.5
+
+User-agent: other
+Disallow: /
+"""
+
+
+def test_parse_robots():
+    rules, delay = parse_robots(ROBOTS)
+    assert (False, "/private") in rules
+    assert (True, "/private/ok") in rules
+    assert all("/google-only" != p for _, p in rules)
+    assert delay == 2.5
+
+
+def test_robots_matching():
+    rules, _ = parse_robots(ROBOTS)
+    assert robots_allowed("/public", rules)
+    assert not robots_allowed("/private/secret", rules)
+    assert robots_allowed("/private/ok/x", rules)  # longest prefix wins
+    assert robots_allowed("/", rules)
+
+
+def test_robots_empty_default_allow():
+    rules, delay = parse_robots(None)
+    assert rules == [] and delay == 0.0
+    assert robots_allowed("/anything", rules)
+
+
+def test_crawl_delay_series():
+    s = crawl_delay_series(pd.Series([ROBOTS, None, "User-agent: *\nCrawl-delay: 1"]))
+    assert list(s) == [2.5, 0.0, 1.0]

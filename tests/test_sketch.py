@@ -1,0 +1,72 @@
+"""Bloom sketch property tests (SURVEY.md §5.4): zero false negatives,
+associative/commutative merge (treeAggregate order-safety), bounded fpp,
+round-trip serialization."""
+
+import numpy as np
+
+from spiderspark.sketch import Bloom, BucketedBloom, optimal_params
+
+RNG = np.random.default_rng(42)
+
+
+def _keys(n, lo=-(2**62), hi=2**62):
+    return RNG.integers(lo, hi, size=n, dtype=np.int64)
+
+
+def test_no_false_negatives():
+    keys = _keys(50_000)
+    b = Bloom.for_capacity(50_000, fpp=0.01).add(keys)
+    assert b.contains(keys).all()
+
+
+def test_fpp_bounded():
+    keys = _keys(20_000)
+    b = Bloom.for_capacity(20_000, fpp=0.01).add(keys)
+    probe = _keys(100_000)
+    probe = probe[~np.isin(probe, keys)]
+    fpp = b.contains(probe).mean()
+    assert fpp < 0.03, f"observed fpp {fpp}"
+
+
+def test_merge_assoc_comm():
+    a_keys, b_keys, c_keys = _keys(1000), _keys(1000), _keys(1000)
+    n_bits, n_hashes = optimal_params(3000, 0.01)
+
+    def fresh(keys):
+        return Bloom(n_bits, n_hashes).add(keys)
+
+    left = fresh(a_keys).merge(fresh(b_keys)).merge(fresh(c_keys))
+    right = fresh(c_keys).merge(fresh(a_keys).merge(fresh(b_keys)))
+    assert (left.words == right.words).all()
+
+
+def test_serialization_roundtrip():
+    keys = _keys(5000)
+    b = Bloom.for_capacity(5000).add(keys)
+    b2 = Bloom.from_bytes(b.to_bytes(), b.n_bits, b.n_hashes)
+    assert (b2.words == b.words).all()
+    assert b2.contains(keys).all()
+
+
+def test_bucketed_routing_and_membership():
+    keys = _keys(30_000)
+    bb = BucketedBloom.for_capacity(30_000, n_buckets=8, fpp=0.01).add(keys)
+    assert bb.contains(keys).all()
+    # buckets are disjoint responsibilities: a key's membership only
+    # consults its own bucket
+    b = bb.bucket_of(keys)
+    assert (b >= 0).all() and (b < 8).all()
+
+
+def test_bucket_rows_roundtrip():
+    keys = _keys(10_000)
+    bb = BucketedBloom.for_capacity(10_000, n_buckets=4).add(keys)
+    bb2 = BucketedBloom.from_bucket_rows(list(bb.bucket_rows()))
+    assert bb2.contains(keys).all()
+    for f1, f2 in zip(bb.filters, bb2.filters):
+        assert (f1.words == f2.words).all()
+
+
+def test_empty_bloom_contains_nothing_much():
+    b = Bloom.for_capacity(1000)
+    assert not b.contains(_keys(1000)).any()
