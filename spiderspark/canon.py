@@ -133,7 +133,12 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     q_part = ("?" + query.fillna("")).where(query.notna() & (query != ""), "")
 
     out = scheme + "://" + host + port_part + path + q_part
-    bad = scheme.isna() | host.isna() | (host == "")
+    # reject syntactically-invalid hosts (spaces, %, parens, bare ':', …):
+    # reg-name charset only — letters, digits, dots, hyphens; no leading/
+    # trailing separator. Pinned: such URLs canonicalize to "" and are
+    # filtered out of the frontier.
+    valid_host = host.str.match(r"^[a-z0-9]([a-z0-9.\-]*[a-z0-9])?$").fillna(False)
+    bad = scheme.isna() | host.isna() | ~valid_host
     return out.mask(bad, "").fillna("")
 
 

@@ -1,0 +1,123 @@
+"""Scheduling: heavy-host salting, per-host top-k, deterministic total order
+(SURVEY.md §2.4 A7, §2.5 W1, §2.6 O1).
+
+The crawl-ordering invariant (BASELINE.json:14): the schedule's total order
+is (priority asc, depth asc, discovered_batch asc, url_hash asc) — url_hash
+as final tie-break makes the order reproducible at ANY parallelism, which is
+the property the fixtures test at local[2] vs local[8].
+
+Skew (BASELINE.json:6 "skew-split on heavy hosts"): a Zipf host distribution
+makes Window.partitionBy(host) put ~30% of the frontier in ONE task. The
+split is explicit and two-phase:
+
+  phase 1: rank within (host, salt)  — heavy hosts split across n_salts
+           tasks; each salt keeps only its best k candidates, so phase 2's
+           input per heavy host is ≤ n_salts·k rows, not the raw millions.
+  phase 2: rank within host on the reduced set — exact same top-k the
+           unsalted plan would pick, skew-free.
+
+Salt = pmod(xxhash64(url_norm), n_salts(host)) — deterministic, JVM-side;
+n_salts > 1 only for hosts flagged heavy by an exact count (A7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+ORDER_COLS = ("priority", "depth", "discovered_batch", "url_hash")
+SKEW_THRESHOLD = 50_000  # candidates per host before splitting
+MAX_SALTS = 32
+
+
+def order_cols(df_or_prefix: str = "") -> list:
+    p = df_or_prefix
+    return [F.col(p + c) for c in ORDER_COLS]
+
+
+def assign_salts(candidates: DataFrame, skew_threshold: int = SKEW_THRESHOLD) -> DataFrame:
+    """A7 + salting: exact per-host candidate counts pick the heavy hosts;
+    each gets n_salts = ceil(count / threshold) (capped). The count is a
+    map-side-combinable groupBy on a host-sized result — cheap — and the
+    result is broadcast back onto the frontier."""
+    counts = candidates.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    n_salts = F.least(
+        F.ceil(F.col("_n") / F.lit(float(skew_threshold))), F.lit(MAX_SALTS)
+    ).cast("int")
+    heavy = counts.select("host", F.greatest(n_salts, F.lit(1)).alias("_n_salts"))
+    return (
+        candidates.join(F.broadcast(heavy), "host", "left")
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64("url_norm"), F.coalesce(F.col("_n_salts"), F.lit(1)))
+            .cast("int"),
+        )
+        .drop("_n_salts")
+    )
+
+
+def per_host_topk(candidates: DataFrame, k_col: str = "host_budget") -> DataFrame:
+    """W1 two-phase skew-split top-k per host under the per-host budget.
+
+    ``k_col`` is a per-row column (host budget from politeness); both phases
+    order by the engine total order so the selection is deterministic.
+    """
+    w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
+    phase1 = (
+        candidates.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(k_col))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order_cols())
+    return (
+        phase1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col(k_col))
+        .drop("_r2")
+    )
+
+
+def global_rank(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """O1: total order + a global ``rank`` column WITHOUT a single-partition
+    window. Range-partition on the order key, rank within each partition,
+    then add broadcast per-partition offsets — the scalable global-sort-rank
+    pattern (two passes over an already-small schedule)."""
+    sdf = df.repartitionByRange(
+        num_partitions or df.sparkSession.sparkContext.defaultParallelism,
+        *order_cols(),
+    ).withColumn("_pid", F.spark_partition_id())
+
+    w = Window.partitionBy("_pid").orderBy(*order_cols())
+    ranked = sdf.withColumn("_local", F.row_number().over(w))
+
+    counts = ranked.groupBy("_pid").agg(F.max("_local").alias("_n")).collect()
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["_n"]
+    offset_df = df.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()] or [(0, 0)],
+        "_pid int, _offset long",
+    )
+    return (
+        ranked.join(F.broadcast(offset_df), "_pid", "left")
+        .withColumn("rank", (F.col("_local") + F.coalesce("_offset", F.lit(0))).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
+def to_schedule(selected: DataFrame, batch_id: int) -> DataFrame:
+    """Project the per-host-top-k output into the SCHEDULE shape with the
+    global deterministic rank."""
+    ranked = global_rank(
+        selected.select(
+            "url", "url_norm", "url_hash", "host", "priority", "depth",
+            "discovered_batch",
+        )
+    )
+    return ranked.select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.col("rank"),
+        "url", "url_norm", "url_hash", "host",
+        F.col("priority").cast("double"),
+        F.col("depth").cast("int"),
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+All knobs are Spark-public configs. Defaults target the sandbox
+(local[N], single JVM); on a real cluster the same builder is used by
+``spark-submit --py-files`` with master/memory supplied externally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "spiderspark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    - AQE on (runtime re-plan, partition coalescing, skew-join split).
+    - Arrow on (pandas UDFs stream Arrow batches; engine mandate).
+    - UTC session timezone (duckdb-oracle comparability).
+    - shuffle partitions ≈ cores by default: at sandbox scale the default
+      200 over-parallelizes tiny shuffles; at cluster scale callers size it
+      to 2-3× total executor cores.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = os.environ.get("SPIDERSPARK_MASTER", f"local[{cores}]")
+    shuffle = shuffle_partitions or cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPIDERSPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """S1 parquet scan: vectorized reader; pushdown/pruning via Catalyst."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

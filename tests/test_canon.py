@@ -40,6 +40,13 @@ CANON_CASES = [
     ("http://example.com/p?", "http://example.com/p"),
     ("http://example.com/p?q=%41", "http://example.com/p?q=A"),
     ("", ""),
+    # invalid hosts are rejected outright (pinned: canonicalize to "")
+    ("not a url", ""),
+    ("%%%", ""),
+    ("javascript:void(0)", ""),
+    ("http://ex ample.com/x", ""),
+    ("http://-bad-.com/", ""),
+    ("http://127.0.0.1:8080/x", "http://127.0.0.1:8080/x"),
 ]
 
 
