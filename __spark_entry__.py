@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship operation — one full frontier-scheduling
+round of the spiderspark engine over seeds derived from the sf0.001
+``documents`` table (canonicalize → hash → dedup → politeness budget →
+skew-salted per-host top-k → deterministic global order).
+
+``queries()`` / ``oracle_sql()`` expose the operator inventory of
+SURVEY.md §2 (plus the training-data-pipeline operators: dedup families,
+ANN, text analysis, multimodal plumbing); the driver cross-checks each
+SQL-expressible one against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# importing these modules populates the spiderspark.queries registry
+import spiderspark.queries as _q  # noqa: E402
+import spiderspark.textops  # noqa: F401,E402
+import spiderspark.dedup  # noqa: F401,E402
+import spiderspark.ann  # noqa: F401,E402
+import spiderspark.multimodal  # noqa: F401,E402
+
+
+def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a deterministic seed list from the documents table: one URL
+    per doc, host = source (Zipf-ish), priority cycles 0..4."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/d/"), F.col("doc_id")
+        ).alias("url"),
+        (F.col("doc_id") % 5).cast("double").alias("priority"),
+    )
+
+
+def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> DataFrame:
+    """One scheduling round of the real engine over testdata-derived seeds."""
+    from spiderspark.crawl import CrawlConfig, init_state
+    from spiderspark.frontier import dedup_against_seen
+    from spiderspark.politeness import HostPolicy, join_host_state, robots_gate
+    from spiderspark.schedule import assign_salts, per_host_topk, to_schedule
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    config = CrawlConfig(policy=HostPolicy(default_budget=budget), use_bloom=False)
+    state = init_state(spark, _documents_as_seeds(spark, sf_dir), None, config)
+    candidates = dedup_against_seen(spark, state.frontier, state.seen, None)
+    budgeted = join_host_state(candidates, state.host_state, config.policy)
+    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+    selected = per_host_topk(assign_salts(gated), "host_budget")
+    return to_schedule(selected, batch_id=1)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return schedule_round_df(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (+ pipeline ops).
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame. Every
+    computed column is aliased identically in the matching oracle SQL.
     """
-    return {}
+    out = dict(_q.QUERIES)
+    out["crawl_schedule_round"] = schedule_round_df  # rows-only (engine op)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL per SQL-expressible query; approximate /
+    sketch / float-geometry / engine-state ops are intentionally absent →
+    the driver records the weaker rows-only check for them.
     """
-    return {}
+    return dict(_q.ORACLE)

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(baseline) and an LSH-bucketed variant (the scale path).
+
+Scale notes:
+- Brute force is exact: broadcast the (small) query set, score every corpus
+  vector with ONE Arrow-vectorized matrix multiply per batch (numpy GEMM
+  inside mapInPandas — no per-row Python), then per-query top-k via the same
+  deterministic window pattern the scheduler uses. Cost O(|corpus|·|queries|)
+  but embarrassingly parallel over corpus partitions: at 100 TB the corpus
+  never shuffles; only (query, candidate, score) survivors do.
+- The LSH variant buckets vectors by the sign pattern of r random
+  hyperplane projections (signed random projections — the public SimHash-
+  for-cosine construction). Neighbors are searched only within a bucket →
+  equi-join on the bucket key; multi-probe (flipping one bit) trades recall
+  for cost without re-scanning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .queries import q, _t
+
+_N_PLANES = 8  # 2^8 buckets; raise for bigger corpora (buckets ~ n/100)
+_PLANES_SEED = 42
+
+
+def _planes(dim: int, n_planes: int = _N_PLANES) -> np.ndarray:
+    rng = np.random.RandomState(_PLANES_SEED)
+    return rng.standard_normal((dim, n_planes))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    queries_df is collected + broadcast (queries ≪ corpus by assumption);
+    scoring runs as one numpy GEMM per Arrow batch via mapInPandas.
+    Returns (q_id, n_id, cos) with deterministic (cos desc, n_id) top-k.
+    """
+    spark = corpus.sparkSession
+    qrows = queries_df.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", T.LongType()),
+            T.StructField("n_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n_ids = pdf["_id"].to_numpy(dtype=np.int64)
+            c = np.array(pdf["_vec"].tolist(), dtype=np.float64)
+            c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+            sims = c @ mat_q.T  # (batch, n_queries) — one GEMM
+            # per-partition pre-top-k: keep only k best per query locally
+            for qi in range(len(ids_q)):
+                s = sims[:, qi]
+                if len(s) > k:
+                    idx = np.argpartition(-s, k)[:k]
+                else:
+                    idx = np.arange(len(s))
+                yield pd.DataFrame(
+                    {
+                        "q_id": ids_q[qi],
+                        "n_id": n_ids[idx],
+                        "cos": s[idx],
+                    }
+                )
+
+    scored = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).mapInPandas(score, schema=out_schema)
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = _N_PLANES,
+) -> DataFrame:
+    """Approximate cosine top-k: signed-random-projection buckets + exact
+    rescoring within each bucket (plus 1-bit multi-probe for recall)."""
+    spark = corpus.sparkSession
+
+    first = corpus.select(vec_col).first()
+    dim = len(first[0])
+    planes = _planes(dim, n_planes)
+    bc_planes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(T.IntegerType())
+    def bucket_udf(vec: pd.Series) -> pd.Series:
+        p = bc_planes.value
+        m = np.array(vec.tolist(), dtype=np.float64)
+        signs = (m @ p) > 0
+        keys = (signs * (1 << np.arange(p.shape[1]))).sum(axis=1)
+        return pd.Series(keys.astype(np.int32))
+
+    corpus_b = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("bucket", bucket_udf("n_vec"))
+
+    # queries probe their own bucket + each 1-bit-flip neighbor bucket
+    qrows = queries_df.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r[1], dtype=np.float64)
+        key = int(((v @ planes) > 0).dot(1 << np.arange(n_planes)))
+        buckets = {key} | {key ^ (1 << i) for i in range(n_planes)}
+        for bkt in buckets:
+            probe_rows.append((int(r[0]), list(map(float, v)), int(bkt)))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_vec array<double>, bucket int"
+    )
+
+    joined = corpus_b.join(F.broadcast(probes), "bucket")
+    cos = (
+        F.aggregate(
+            F.zip_with(
+                F.col("n_vec").cast("array<double>"),
+                "q_vec",
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        F.col("n_vec").cast("array<double>"), lambda x: x * x
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.transform("q_vec", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+        )
+    )
+    scored = joined.withColumn("cos", cos).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver-contract registrations (float geometry → rows-only checks; the
+# recall property vs brute force is pinned by tests/test_ann.py instead)
+# ---------------------------------------------------------------------------
+
+
+def _split(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10)
+
+
+@q("ann_bruteforce")
+def ann_bruteforce(spark, sf_dir):
+    corpus, queries_df = _split(spark, sf_dir)
+    return brute_force_topk(corpus, queries_df, k=10)
+
+
+@q("ann_lsh")
+def ann_lsh(spark, sf_dir):
+    corpus, queries_df = _split(spark, sf_dir)
+    return lsh_bucketed_topk(corpus, queries_df, k=10)

@@ -1,0 +1,277 @@
+"""Bench harness (SURVEY.md §6, §7.1 M6).
+
+Headline metric: frontier URLs scheduled+deduped per second — one full
+scheduling round (canonicalize → xxhash64 → within-batch dedup → bloom +
+exact anti-join dedup against a pre-seeded seen set → politeness budget →
+heavy-host salting → per-host top-k → deterministic global order) over a
+synthetic frontier hash-expanded to ≥10^6 rows (TESTDATA is the shape
+anchor; no external data).
+
+The frontier generator injects pre-canonicalization noise (case variants,
+default ports, dot segments) so the Arrow canonicalization path does real
+work, and uses the Zipf host distribution so the skew-split path is
+exercised.
+
+Scaling evidence (BASELINE.json:2 "N → 4N executors ≥ 0.8"): no cluster in
+this sandbox, so `--scaling` runs the SAME job in two fresh subprocesses at
+local[8] and local[32] and reports rate ratios (driver-mandated proxy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def frontier_urls_dist(spark, n: int, num_partitions: int):
+    """Distributed deterministic raw-URL frontier with canonicalization noise."""
+    from pyspark.sql import types as T
+
+    from .pages import url_for_ids
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("priority", T.DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            urls = url_for_ids(ids)
+            # deterministic noise: exercise each canonicalization path
+            m5 = ids % 5 == 0
+            m7 = ids % 7 == 0
+            m11 = ids % 11 == 0
+            urls = urls.mask(m5, urls.str.replace("http://host", "HTTP://HOST", regex=False))
+            urls = urls.mask(m7, urls.str.replace(".example/", ".example:80/", regex=False))
+            urls = urls.mask(m11, urls.str.replace("/p/", "/a/../p/./", regex=False))
+            yield pd.DataFrame(
+                {"url": urls, "priority": (ids % 5).astype("float64")}
+            )
+
+    return spark.range(0, n, 1, num_partitions).mapInPandas(gen, schema=schema)
+
+
+def run_headline(spark, n_frontier: int, use_bloom: bool = True, warmup: bool = True) -> dict:
+    """One scheduling round; returns timings + row counts.
+
+    ``warmup`` first runs the identical pipeline on a small frontier so
+    python workers (fork + numpy/pandas import, once per core) and JIT are
+    paid before the clock starts — the metric is steady-state round
+    throughput, which is what a multi-round crawl (and a long-lived cluster)
+    actually sees. Reported separately in ``warmup_s``.
+    """
+    t_w0 = time.time()
+    if warmup:
+        run_headline(spark, max(20_000, n_frontier // 50), use_bloom, warmup=False)
+    t_warm = time.time() - t_w0
+
+    from pyspark.sql import functions as F
+
+    from .crawl import CrawlConfig
+    from .frontier import (
+        build_bloom,
+        dedup_against_seen,
+        dedup_within_batch,
+        seeds_to_frontier,
+    )
+    from .politeness import HostPolicy, join_host_state, robots_gate
+    from .schedule import assign_salts, per_host_topk, to_schedule
+    from .schemas import HOST_STATE
+
+    parallelism = spark.sparkContext.defaultParallelism
+    policy = HostPolicy(default_budget=10_000.0)  # budget ≫ so dedup dominates
+    config = CrawlConfig(policy=policy)
+
+    raw = frontier_urls_dist(spark, n_frontier, parallelism)
+
+    t0 = time.time()
+    # materialize state once per round (mirrors crawl_round: state tables are
+    # checkpointed, so the dedup branch never recomputes the UDF pipeline)
+    frontier = dedup_within_batch(seeds_to_frontier(spark, raw, batch_id=0))
+    frontier = frontier.persist()
+    frontier.count()
+    t_canon = time.time() - t0
+
+    # pre-seeded seen set: the first third of ids (forces real bloom + anti-join)
+    t1 = time.time()
+    seen = (
+        seeds_to_frontier(
+            spark,
+            frontier_urls_dist(spark, n_frontier // 3, parallelism),
+            batch_id=0,
+        )
+        .select("url_hash")
+        .withColumn("first_batch", F.lit(0).cast("long"))
+        .persist()
+    )
+    seen.count()
+    t_seen = time.time() - t1
+
+    bloom = None
+    t_bloom0 = time.time()
+    if use_bloom:
+        bloom = build_bloom(
+            seen, n_buckets=32, capacity_per_bucket=max(4096, n_frontier // 32)
+        )
+    t_bloom = time.time() - t_bloom0
+
+    t2 = time.time()
+    candidates = dedup_against_seen(spark, frontier, seen, bloom)
+    host_state = spark.createDataFrame([], HOST_STATE)
+    budgeted = join_host_state(candidates, host_state, policy)
+    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+    selected = per_host_topk(assign_salts(gated, skew_threshold=20_000), "host_budget")
+    schedule = to_schedule(selected, batch_id=1)
+    n_scheduled = schedule.count()
+    t_sched = time.time() - t2
+    wall = time.time() - t0
+
+    frontier.unpersist()
+    seen.unpersist()
+    return {
+        "n_frontier": n_frontier,
+        "n_scheduled": n_scheduled,
+        "wall_s": round(wall, 3),
+        "canon_dedup_s": round(t_canon, 3),
+        "seen_build_s": round(t_seen, 3),
+        "bloom_build_s": round(t_bloom, 3),
+        "schedule_s": round(t_sched, 3),
+        "rate_urls_per_sec": round(n_frontier / wall, 1),
+        "warmup_s": round(t_warm, 3),
+        "parallelism": parallelism,
+    }
+
+
+HEADLINE_QUERIES = [
+    "agg_per_host",
+    "join_lineitem_orders",
+    "window_rank_per_host",
+    "dedup_exact",
+    "minhash_lsh",
+    "ann_bruteforce",
+    "token_count",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out = {}
+    for i, name in enumerate(HEADLINE_QUERIES, 1):
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[f"q{i}_{name}"] = round(time.time() - t0, 3)
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--frontier", type=int, default=int(os.environ.get("SPIDERSPARK_BENCH_FRONTIER", "2000000")))
+    ap.add_argument("--headline-only", action="store_true")
+    ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/BASELINE.md")
+    args = ap.parse_args(argv)
+
+    if args.scaling:
+        return run_scaling(args)
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from .session import get_spark
+
+    spark = get_spark("spiderspark-bench", cores=args.cores, shuffle_partitions=args.cores * 2)
+    head = run_headline(spark, args.frontier)
+    queries = {} if args.headline_only else run_queries(spark, args.sf_dir)
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "frontier_urls_scheduled_deduped_per_sec",
+        "value": head["rate_urls_per_sec"],
+        "unit": "urls/sec",
+        "headline_wall_sec": head["wall_s"],
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": head,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return result
+
+
+def _subprocess_rate(cores: int, frontier: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+         "--cores", str(cores), "--frontier", str(frontier), "--headline-only"],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(args):
+    n = args.frontier
+    lo, hi = 8, 32
+    r_lo = _subprocess_rate(lo, n)
+    r_hi = _subprocess_rate(hi, n)
+    eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "rate_8": r_lo["value"],
+        "rate_32": r_hi["value"],
+        "n_frontier": n,
+    }
+    print(json.dumps(result))
+    _write_baseline_md(result, r_lo, r_hi)
+    return result
+
+
+def _write_baseline_md(res, r_lo, r_hi):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured results (sandbox)
+
+Driver-mandated proxy for the N→4N-executor criterion (BASELINE.json:2):
+the same scheduling+dedup job, same deterministic input
+({res['n_frontier']:,} frontier URLs, Zipf hosts, canonicalization noise,
+1/3 pre-seen), at two local parallelism levels in fresh JVMs.
+
+| cores | frontier URLs/s | wall s |
+| --- | --- | --- |
+| 8  | {r_lo['value']:,} | {r_lo['headline_wall_sec']} |
+| 32 | {r_hi['value']:,} | {r_hi['headline_wall_sec']} |
+
+**Scaling efficiency (8 → 32 cores, 4×): {res['value']}** (criterion ≥ 0.8).
+
+## 10^10-scale argument (paper, backed by the curve above)
+
+- Frontier partitioned by (host_bucket, salt); heavy hosts split explicitly
+  (A7 top-k count → n_salts = ceil(count/threshold)) so no task exceeds the
+  skew threshold regardless of the Zipf exponent. AQE skew-join splitting is
+  enabled on top.
+- URL-seen set at 10^10 keys / 1% fpp needs ≈ 9.6e10 bloom bits ≈ 12 GB —
+  never materialized in one place: per-partition bucketed filters (key
+  routing = pmod(url_hash, n_buckets)) are built Arrow-side per partition
+  and OR-merged via log-depth treeAggregate; each executor holds only its
+  bucket's slice, and membership tests broadcast only the buckets a
+  partition needs.
+- The exact dedup tier shuffles only 8-byte url_hash keys, and only for the
+  "maybe-seen" bloom survivors (~1% of new URLs + true dups).
+- All per-URL string work (RFC-3986 canonicalize, text extraction) is
+  Arrow-vectorized pandas UDFs: one JVM↔Python crossing per batch per round.
+""")

@@ -159,11 +159,13 @@ def bloom_maybe_seen_udf(spark, bloom: BucketedBloom):
     False ⇒ DEFINITELY unseen (bloom has no false negatives).
     """
     bc = spark.sparkContext.broadcast(list(bloom.bucket_rows()))
+    holder: list[BucketedBloom] = []  # rebuild once per python worker, not per batch
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        bb = BucketedBloom.from_bucket_rows(bc.value)
-        return pd.Series(bb.contains(url_hash.to_numpy()))
+        if not holder:
+            holder.append(BucketedBloom.from_bucket_rows(bc.value))
+        return pd.Series(holder[0].contains(url_hash.to_numpy()))
 
     return maybe_seen
 

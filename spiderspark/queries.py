@@ -1,0 +1,649 @@
+"""Driver-contract query registry (SURVEY.md §2 "verify key" column).
+
+Every entry pairs a PySpark DataFrame program with the ANSI-SQL oracle that
+DuckDB runs on the same parquet tables; the driver compares row count,
+schema, and an order-insensitive value hash at sf=0.01. Conventions that
+make the comparison well-defined:
+
+- every computed column is aliased IDENTICALLY on both sides;
+- floating aggregates are ``round(x, 4)`` on both sides (Spark and DuckDB
+  may sum doubles in different orders; 4 decimals absorbs the ulp noise
+  while still checking the math);
+- window/top-k queries carry a unique-key tie-break so the selected SET is
+  deterministic;
+- timestamps: the Spark session is pinned to UTC inside each query.
+
+Approximate / sketch / float-geometry operators (bloom, HLL, ANN cosine,
+minhash) register a query but no oracle → the driver records the weaker
+rows-only check, by design (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if sql is not None:
+            ORACLE[name] = sql
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / §2.2 projection & filter
+# ---------------------------------------------------------------------------
+
+@q(
+    "scan_lineitem",
+    "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 30",
+)
+def scan_lineitem(spark, sf_dir):
+    # S1: filter + projection both push into the parquet scan (PushedFilters)
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+@q(
+    "project_orders",
+    "SELECT o_orderkey, round(o_totalprice, 4) AS total, o_orderpriority AS pri "
+    "FROM orders",
+)
+def project_orders(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("total"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+
+
+@q(
+    "filter_events",
+    "SELECT event_id, user_id, value FROM events "
+    "WHERE event_type = 'error' AND value > 100",
+)
+def filter_events(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "error") & (F.col("value") > 100))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@q(
+    "filter_host",
+    "SELECT doc_id, source, n_chars FROM documents WHERE source = 'src3'",
+)
+def filter_host(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src3")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@q(
+    "proj_lang",
+    "SELECT doc_id, upper(lang) AS lang_u, length(text) AS text_len FROM documents",
+)
+def proj_lang(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.upper("lang").alias("lang_u"), F.length("text").alias("text_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "anti_seen",
+    "SELECT o_orderkey FROM orders WHERE o_orderkey NOT IN "
+    "(SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)",
+)
+def anti_seen(spark, sf_dir):
+    # J1: the URL-seen dedup shape — left_anti on the key
+    orders = _t(spark, sf_dir, "orders")
+    seen = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(
+        seen, orders.o_orderkey == seen.l_orderkey, "left_anti"
+    ).select("o_orderkey")
+
+
+@q(
+    "join_broadcast",
+    "SELECT c_custkey, c_name, n_name FROM customer JOIN nation "
+    "ON c_nationkey = n_nationkey",
+)
+def join_broadcast(spark, sf_dir):
+    # J3: small-dimension broadcast (host_state shape)
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+
+
+@q(
+    "join_lineitem_orders",
+    "SELECT l_orderkey, l_linenumber, o_orderstatus, round(o_totalprice, 4) AS total "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+)
+def join_lineitem_orders(spark, sf_dir):
+    # J4: large×large equi join (fetch_log ⋈ pages shape) — SMJ/SHJ via AQE
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("total"),
+    )
+
+
+@q(
+    "semi_orders",
+    "SELECT o_orderkey, round(o_totalprice, 4) AS total FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    "AND l_quantity > 49)",
+)
+def semi_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", F.round("o_totalprice", 4).alias("total")
+    )
+
+
+@q(
+    "asof_host_state",
+    "SELECT user_id, event_id, ts FROM events "
+    "WHERE ts <= TIMESTAMP '2024-01-15 00:00:00' "
+    "QUALIFY row_number() OVER "
+    "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1",
+)
+def asof_host_state(spark, sf_dir):
+    # J6: as-of join core — latest state at/before a point in time
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") <= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts")
+    )
+
+
+_QUARTERS = [
+    ("q1", "2024-01-01", "2024-04-01"),
+    ("q2", "2024-04-01", "2024-07-01"),
+    ("q3", "2024-07-01", "2024-10-01"),
+    ("q4", "2024-10-01", "2025-01-01"),
+]
+_QUARTERS_SQL = " UNION ALL ".join(
+    f"SELECT '{n}' AS q, TIMESTAMP '{lo} 00:00:00' AS lo, "
+    f"TIMESTAMP '{hi} 00:00:00' AS hi"
+    for n, lo, hi in _QUARTERS
+)
+
+
+@q(
+    "range_join_events",
+    f"SELECT q, count(*) AS n, round(sum(value), 4) AS total FROM events "
+    f"JOIN ({_QUARTERS_SQL}) w ON ts >= lo AND ts < hi GROUP BY q",
+)
+def range_join_events(spark, sf_dir):
+    # J7: interval containment join; the window side is tiny → broadcast BNLJ
+    windows = spark.createDataFrame(
+        [(n, f"{lo} 00:00:00", f"{hi} 00:00:00") for n, lo, hi in _QUARTERS],
+        "q string, lo string, hi string",
+    ).select("q", F.col("lo").cast("timestamp"), F.col("hi").cast("timestamp"))
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(windows),
+            (ev.ts >= windows.lo) & (ev.ts < windows.hi),
+        )
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+@q(
+    "theta_join_small",
+    "SELECT r_name, count(*) AS n FROM region, nation "
+    "WHERE n_regionkey <> r_regionkey GROUP BY r_name",
+)
+def theta_join_small(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        region.join(nation, region.r_regionkey != nation.n_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_per_host",
+    "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, "
+    "round(avg(l_discount), 4) AS avg_disc, count(*) AS n "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+)
+def agg_per_host(spark, sf_dir):
+    # A1: the per-host metrics shape (TPC-H Q1 style); Catalyst does
+    # partial → shuffle → final automatically
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q("distinct_urls", "SELECT DISTINCT source FROM documents")
+def distinct_urls(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select("source").distinct()
+
+
+@q(
+    "rollup_metrics",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    "round(sum(o_totalprice), 4) AS total FROM orders "
+    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+)
+def rollup_metrics(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
+
+
+@q(
+    "cube_metrics",
+    "SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort, count(*) AS n "
+    "FROM events GROUP BY CUBE(event_type, cohort)",
+)
+def cube_metrics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 4).cast("long")
+    )
+    return ev.cube("event_type", "cohort").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "udaf_p95",
+    "SELECT event_type, round(quantile_cont(value, 0.95), 4) AS p95 "
+    "FROM events GROUP BY event_type",
+)
+def udaf_p95(spark, sf_dir):
+    # A6/F3: grouped-map pandas UDAF surface (Arrow applyInPandas) —
+    # np.percentile 'linear' interpolation ≡ SQL quantile_cont
+    import numpy as np
+    import pandas as pd
+
+    def p95(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "p95": [round(float(np.percentile(pdf["value"].to_numpy(), 95)), 4)],
+            }
+        )
+
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(p95, schema="event_type string, p95 double")
+    )
+
+
+@q(
+    "topk_hosts",
+    "SELECT source, count(*) AS n FROM documents GROUP BY source "
+    "ORDER BY n DESC, source LIMIT 5",
+)
+def topk_hosts(spark, sf_dir):
+    # A7: heavy-host detection feeding the skew split
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "source")
+        .limit(5)
+    )
+
+
+@q(
+    "agg_stats",
+    "SELECT s_nationkey, count(*) AS n, round(avg(s_acctbal), 4) AS avg_bal, "
+    "round(min(s_acctbal), 4) AS min_bal, round(max(s_acctbal), 4) AS max_bal "
+    "FROM supplier GROUP BY s_nationkey",
+)
+def agg_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("s_acctbal"), 4).alias("min_bal"),
+            F.round(F.max("s_acctbal"), 4).alias("max_bal"),
+        )
+    )
+
+
+@q("approx_distinct")  # rows-only: approximate by definition
+def approx_distinct(spark, sf_dir):
+    # A3: HLL frontier-size estimate
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+@q(
+    "window_rank_per_host",
+    "SELECT source, doc_id, n_chars FROM documents "
+    "QUALIFY row_number() OVER "
+    "(PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3",
+)
+def window_rank_per_host(spark, sf_dir):
+    # W1: THE scheduler core — per-host top-k in deterministic order
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@q(
+    "window_rank",
+    "SELECT l_returnflag, l_orderkey, l_linenumber, rnk FROM ("
+    "SELECT l_returnflag, l_orderkey, l_linenumber, "
+    "rank() OVER (PARTITION BY l_returnflag "
+    "ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rnk "
+    "FROM lineitem) WHERE rnk <= 10",
+)
+def window_rank(spark, sf_dir):
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").desc(), "l_orderkey", "l_linenumber"
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rnk")
+    )
+
+
+@q(
+    "window_lag_events",
+    # floor(epoch(...)) on both sides: Spark's unix_timestamp truncates
+    # sub-second parts, DuckDB's CAST(double AS BIGINT) would round
+    "SELECT user_id, event_id, CAST(floor(epoch(ts)) - floor(epoch(lag(ts) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s "
+    "FROM events",
+)
+def window_lag_events(spark, sf_dir):
+    # W3: inter-fetch gap per host — the politeness audit shape
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("gap_s"),
+    )
+
+
+@q(
+    "window_running_sum",
+    "SELECT user_id, event_id, round(sum(value) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running "
+    "FROM events",
+)
+def window_running_sum(spark, sf_dir):
+    # W4: running token accrual shape
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running")
+    )
+
+
+@q(
+    "sessionize",
+    "SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions "
+    "FROM (SELECT user_id, sum(CASE WHEN gap_s IS NULL OR gap_s > 3600 "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+    "FROM (SELECT user_id, ts, event_id, floor(epoch(ts)) - floor(epoch(lag(ts) "
+    "OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_s FROM events)) "
+    "GROUP BY user_id",
+)
+def sessionize(spark, sf_dir):
+    # sessionization via lag + cumulative boundary count (batch equivalent
+    # of session_window; integer-exact so oracle-comparable)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = _t(spark, sf_dir, "events")
+    gaps = ev.withColumn(
+        "gap_s",
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum(
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 3600), 1).otherwise(0)
+        ).over(wrun),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").cast("long").alias("n_sessions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / top-k
+# ---------------------------------------------------------------------------
+
+@q(
+    "order_frontier",
+    "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100",
+)
+def order_frontier(spark, sf_dir):
+    # O1/O2: deterministic total order + limit → TakeOrderedAndProject
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "topk_orders",
+    "SELECT o_orderkey, round(o_totalprice, 4) AS total FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+)
+def topk_orders(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@q(
+    "union_all",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "UNION ALL SELECT doc_id FROM documents WHERE source = 'src1'",
+)
+def union_all(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .unionAll(docs.filter(F.col("source") == "src1").select("doc_id"))
+    )
+
+
+@q(
+    "except_seen",
+    "SELECT doc_id FROM documents EXCEPT "
+    "SELECT doc_id FROM documents WHERE lang = 'en'",
+)
+def except_seen(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id").subtract(
+        docs.filter(F.col("lang") == "en").select("doc_id")
+    )
+
+
+@q(
+    "intersect_urls",
+    "SELECT doc_id FROM documents WHERE lang = 'en' INTERSECT "
+    "SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2')",
+)
+def intersect_urls(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .intersect(
+            docs.filter(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function surface
+# ---------------------------------------------------------------------------
+
+@q(
+    "scalar_strings",
+    "SELECT doc_id, upper(substring(text, 1, 10)) AS head10, "
+    "length(text) AS text_len, concat_ws('-', lang, source) AS tag "
+    "FROM documents",
+)
+def scalar_strings(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 10)).alias("head10"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("-", "lang", "source").alias("tag"),
+    )
+
+
+@q(
+    "scalar_json_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k "
+    "FROM events",
+)
+def scalar_json_props(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@q(
+    "scalar_dates",
+    "SELECT o_orderkey, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr, "
+    "CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo, "
+    "date_trunc('month', o_orderdate) AS mstart FROM orders",
+)
+def scalar_dates(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("mstart"),
+    )
+
+
+@q(
+    "pivot_event_counts",
+    "SELECT user_id, "
+    "count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks, "
+    "count(CASE WHEN event_type = 'view' THEN 1 END) AS views, "
+    "count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases "
+    "FROM events GROUP BY user_id",
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+
+
+@q(
+    "window_tumbling_hour",
+    "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
+    "round(sum(value), 4) AS total FROM events GROUP BY 1, 2",
+)
+def window_tumbling_hour(spark, sf_dir):
+    # ST1 batch-equivalent: tumbling-window rate accounting
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("w_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )

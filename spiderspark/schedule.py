@@ -80,10 +80,16 @@ def global_rank(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     window. Range-partition on the order key, rank within each partition,
     then add broadcast per-partition offsets — the scalable global-sort-rank
     pattern (two passes over an already-small schedule)."""
-    sdf = df.repartitionByRange(
-        num_partitions or df.sparkSession.sparkContext.defaultParallelism,
-        *order_cols(),
-    ).withColumn("_pid", F.spark_partition_id())
+    sdf = (
+        df.repartitionByRange(
+            num_partitions or df.sparkSession.sparkContext.defaultParallelism,
+            *order_cols(),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        # persist: the offset pass and the rank pass must not re-execute the
+        # whole upstream scheduling DAG (schedule is budget-bounded small)
+        .persist()
+    )
 
     w = Window.partitionBy("_pid").orderBy(*order_cols())
     ranked = sdf.withColumn("_local", F.row_number().over(w))

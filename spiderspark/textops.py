@@ -1,0 +1,145 @@
+"""Text analysis for large-scale training-data pipelines: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot paths are either built-in ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) or Arrow-vectorized pandas UDFs; the SQL-expressible
+ones register DuckDB oracles, the heuristic ones register rows-only checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .queries import q, _t
+
+# ---------------------------------------------------------------------------
+# token counting + quality scoring (pure built-ins — JVM side)
+# ---------------------------------------------------------------------------
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy (codegen'd regexp):
+    word pieces = runs of letters/digits, each ~4 chars → ceil(len/4)."""
+    return df.withColumn(
+        "n_tokens", F.size(F.split(F.col(text_col), " "))
+    ).withColumn(
+        "n_wordpieces",
+        F.ceil(
+            F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", "")) / 4
+        ).cast("long"),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/space ratios — the classic cheap quality features."""
+    length = F.length(F.col(text_col))
+    n_space = length - F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    n_alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    return (
+        df.withColumn("text_len", length)
+        .withColumn("space_ratio", F.round(n_space / F.greatest(length, F.lit(1)), 4))
+        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(length, F.lit(1)), 4))
+        .withColumn(
+            "avg_word_len",
+            F.round(
+                (length - n_space)
+                / F.greatest(F.size(F.split(F.col(text_col), " ")), F.lit(1)),
+                4,
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID (n-gram heuristic; vectorized pandas UDF — rows-only oracle)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny public stopword sets; enough for a deterministic heuristic
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "es", "de"),
+}
+
+
+@F.pandas_udf(T.StringType())
+def langid_udf(text: pd.Series) -> pd.Series:
+    """Vectorized marker-count heuristic; CJK codepoint share → zh."""
+    s = text.fillna("")
+    lower = s.str.lower()
+    scores = {}
+    for lang, markers in _LANG_MARKERS.items():
+        total = None
+        for m in markers:
+            c = lower.str.count(rf"\b{m}\b")
+            total = c if total is None else total + c
+        scores[lang] = total
+    score_df = pd.DataFrame(scores)
+    cjk = s.str.count(r"[一-鿿]")
+    out = score_df.idxmax(axis=1).where(score_df.max(axis=1) > 0, "und")
+    return out.mask(cjk > (s.str.len().clip(lower=1) * 0.2), "zh")
+
+
+def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", langid_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling/content hash — JVM xxhash64)
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint = xxhash64 of whitespace-canonicalized text —
+    the same normalize-then-hash identity trick the frontier uses for URLs."""
+    canon = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.xxhash64(canon))
+
+
+# ---------------------------------------------------------------------------
+# driver-contract registrations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+    "CAST(ceil(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / 4.0) "
+    "AS BIGINT) AS n_wordpieces FROM documents",
+)
+def token_count(spark, sf_dir):
+    return with_token_count(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_wordpieces"
+    )
+
+
+@q(
+    "text_quality",
+    "SELECT doc_id, length(text) AS text_len, "
+    "round((length(text) - length(replace(text, ' ', ''))) * 1.0 / "
+    "greatest(length(text), 1), 4) AS space_ratio, "
+    "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / "
+    "greatest(length(text), 1), 4) AS alpha_ratio, "
+    "round(length(replace(text, ' ', '')) * 1.0 / "
+    "greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len "
+    "FROM documents",
+)
+def text_quality(spark, sf_dir):
+    return with_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_len", "space_ratio", "alpha_ratio", "avg_word_len"
+    )
+
+
+@q("langid")  # heuristic — rows-only
+def langid(spark, sf_dir):
+    return with_langid(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+@q("fingerprint")  # xxhash64 not available in DuckDB — rows-only
+def fingerprint(spark, sf_dir):
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )

@@ -1,0 +1,160 @@
+"""Training-data-pipeline operator tests: dedup families find planted
+duplicates, ANN-LSH recalls brute-force neighbors, text analysis behaves,
+multimodal plumbing handles valid/corrupt/null payloads."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spiderspark.ann import brute_force_topk, lsh_bucketed_topk
+from spiderspark.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from spiderspark.multimodal import (
+    decode_image_batch,
+    encode_fake_image,
+    image_meta_udf,
+    mean_pixel_features,
+    synthetic_media_df,
+)
+from spiderspark.textops import langid_udf, with_fingerprint, with_quality, with_token_count
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some food for the long cold winter"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("winter", "summer")),  # near dup of 0
+        (3, "completely different text about spark query engines and joins"),
+        (4, "der hund und die katze sind im haus und der vogel ist frei"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_fingerprint(spark, docs):
+    fp = with_fingerprint(docs).groupBy("fingerprint").count().collect()
+    counts = sorted(r["count"] for r in fp)
+    assert counts == [1, 1, 1, 1, 2]  # docs 0,1 collapse
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup caught
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs):
+    rows = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert 0.5 <= rows[(0, 2)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((40, 16)).astype(np.float64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_bruteforce_exact(spark, vectors):
+    corpus = vectors.filter("vec_id >= 5")
+    queries = vectors.filter("vec_id < 5")
+    got = brute_force_topk(corpus, queries, k=3).toPandas()
+    # exact numpy reference
+    pdf = vectors.toPandas().sort_values("vec_id")
+    m = np.array(pdf["embedding"].tolist())
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m[:5] @ m[5:].T
+    for qi in range(5):
+        order = np.argsort(-sims[qi], kind="stable")[:3] + 5
+        mine = got[got.q_id == qi].sort_values("cos", ascending=False)["n_id"].tolist()
+        assert mine == list(order), f"query {qi}"
+
+
+def test_ann_lsh_recall_planted(spark):
+    """LSH must recall planted near-duplicates (the actual near-dup use
+    case): query i is corpus vector i plus small noise → true nearest
+    neighbor is vector i; signed-random-projection buckets must find it."""
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((60, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    noisy = base[:10] + 0.05 * rng.standard_normal((10, 16))
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in noisy[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    approx = lsh_bucketed_topk(corpus, queries, k=1).toPandas()
+    found = {int(r.q_id) - 100: int(r.n_id) for r in approx.itertuples()}
+    hits = sum(1 for i in range(10) if found.get(i) == i)
+    assert hits >= 8, f"planted-neighbor recall {hits}/10"
+
+
+def test_token_count_and_quality(spark, docs):
+    out = {r["doc_id"]: r for r in with_quality(with_token_count(docs)).collect()}
+    assert out[0]["n_tokens"] == len(BASE.split())
+    assert out[0]["alpha_ratio"] < 1.0
+    assert out[5]["n_tokens"] == 1  # split('') -> ['']
+
+
+def test_langid(spark, docs):
+    zh = spark.createDataFrame([(9, "中文文本的一个例子，包含很多汉字")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["p"] for r in docs.unionByName(zh).select(
+        "doc_id", langid_udf("text").alias("p")).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "de"
+    assert rows[9] == "zh"
+    assert rows[5] == "und"
+
+
+def test_multimodal_meta_and_features(spark):
+    media = synthetic_media_df(spark, 33)
+    meta = {r["item_id"]: r for r in media.select(
+        "item_id", image_meta_udf("img").alias("m")).select("item_id", "m.*").collect()}
+    assert meta[0]["valid"] and meta[0]["width"] == 8
+    assert not meta[6]["valid"]   # corrupted
+    assert not meta[10]["valid"]  # null
+    feats = {r["item_id"]: r["feat"] for r in mean_pixel_features(media).collect()}
+    assert len(feats[0]) == 4 and feats[0][3] > 0
+    assert feats[10] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), decoder="real")
+
+
+def test_fake_image_roundtrip():
+    blob = encode_fake_image(16, 9, 3)
+    meta = decode_image_batch(pd.Series([blob]))
+    assert meta.iloc[0].tolist() == [16, 9, 3, len(blob), True]
