@@ -192,14 +192,14 @@ def crawl_round(
         )
     )
 
-    # 9. bloom': fold the newly-seen hashes into the sketch (driver-side
-    #    merge of a partial built from this round's schedule — schedule is
-    #    budget-bounded, so this is small by construction)
+    # 9. bloom': OR-merge a distributed partial built from this round's
+    #    newly-seen hashes (same params as the state sketch) — the rows
+    #    never visit the driver, only the bucket bit-arrays do
     bloom = state.bloom
     if bloom is not None:
-        hashes = [r["url_hash"] for r in newly_seen.select("url_hash").collect()]
-        if hashes:
-            bloom.add(pd.array(hashes, dtype="int64").to_numpy())
+        from .frontier import build_bloom_like
+
+        bloom = bloom.merge(build_bloom_like(newly_seen, bloom))
 
     # 10. politeness accounting
     sched_counts = schedule.groupBy("host").agg(F.count(F.lit(1)).alias("scheduled"))

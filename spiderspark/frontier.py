@@ -39,6 +39,22 @@ def host_udf(url_norm: pd.Series) -> pd.Series:
     return host_of_series(url_norm)
 
 
+_CANON_STRUCT = T.StructType(
+    [
+        T.StructField("url_norm", T.StringType()),
+        T.StructField("host", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_CANON_STRUCT)
+def canon_host_udf(urls: pd.Series) -> pd.DataFrame:
+    """canonicalize + host in ONE Arrow crossing (the hot path pays a single
+    ArrowEvalPython stage; host_of runs on the already-normalized strings)."""
+    norm = canonicalize_series(urls)
+    return pd.DataFrame({"url_norm": norm, "host": host_of_series(norm)})
+
+
 def host_bucket_col(host: Column, n_buckets: int = N_HOST_BUCKETS) -> Column:
     """host-hash bucket (BASELINE.json:6) — JVM-side, no Python."""
     return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
@@ -47,9 +63,11 @@ def host_bucket_col(host: Column, n_buckets: int = N_HOST_BUCKETS) -> Column:
 def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
     """P2+P3+P4+bucket in one pass; invalid/non-http(s) URLs filtered (P5)."""
     out = (
-        df.withColumn("url_norm", canonicalize_udf(F.col(url_col)))
+        df.withColumn("_c", canon_host_udf(F.col(url_col)))
+        .withColumn("url_norm", F.col("_c.url_norm"))
+        .withColumn("host", F.col("_c.host"))
+        .drop("_c")
         .withColumn("url_hash", F.xxhash64("url_norm"))
-        .withColumn("host", host_udf("url_norm"))
         .withColumn("host_bucket", host_bucket_col(F.col("host")))
     )
     return out.filter(
@@ -104,6 +122,7 @@ def build_bloom(
     capacity_per_bucket: int,
     fpp: float = 0.01,
     depth: int = 2,
+    _params: tuple[int, int] | None = None,
 ) -> BucketedBloom:
     """A4: per-partition partial Blooms merged via treeAggregate.
 
@@ -113,7 +132,7 @@ def build_bloom(
     tree — the mandated seam (BASELINE.json:6); inputs are bit arrays, never
     row data.
     """
-    n_bits, n_hashes = optimal_params(max(1, capacity_per_bucket), fpp)
+    n_bits, n_hashes = _params or optimal_params(max(1, capacity_per_bucket), fpp)
 
     out_schema = T.StructType(
         [
@@ -123,21 +142,36 @@ def build_bloom(
     )
 
     def partials(batches):
-        bb = BucketedBloom(n_buckets, n_bits, n_hashes)
-        saw = False
+        # the input is hash-partitioned by bucket, so this partition sees a
+        # small, fixed set of buckets — build ONLY those filters. Total
+        # partial-sketch volume is therefore n_buckets × bucket_bits,
+        # INDEPENDENT of parallelism (at 10^10 keys this is what keeps the
+        # merge from moving hundreds of GB).
+        local: dict[int, Bloom] = {}
         for pdf in batches:
-            if len(pdf):
-                saw = True
-                bb.add(pdf["url_hash"].to_numpy())
-        if saw:
+            if not len(pdf):
+                continue
+            keys = pdf["url_hash"].to_numpy()
+            buckets = pdf["_bucket"].to_numpy()
+            for b in pd.unique(buckets):
+                f = local.get(int(b))
+                if f is None:
+                    f = local[int(b)] = Bloom(n_bits, n_hashes)
+                f.add(keys[buckets == b])
+        if local:
             yield pd.DataFrame(
                 {
-                    "bucket": range(n_buckets),
-                    "bits": [f.to_bytes() for f in bb.filters],
+                    "bucket": list(local.keys()),
+                    "bits": [f.to_bytes() for f in local.values()],
                 }
             )
 
-    partial_rows = df.select("url_hash").mapInPandas(partials, schema=out_schema)
+    partial_rows = (
+        df.select("url_hash")
+        .withColumn("_bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+        .repartition(n_buckets, "_bucket")
+        .mapInPandas(partials, schema=out_schema)
+    )
 
     def seq_op(acc: BucketedBloom, row) -> BucketedBloom:
         acc.filters[row["bucket"]].merge(
@@ -150,6 +184,19 @@ def build_bloom(
 
     zero = BucketedBloom(n_buckets, n_bits, n_hashes)
     return partial_rows.rdd.treeAggregate(zero, seq_op, comb_op, depth=depth)
+
+
+def build_bloom_like(df: DataFrame, proto: BucketedBloom, depth: int = 2) -> BucketedBloom:
+    """A4 variant: build a partial sketch with the SAME parameters as an
+    existing one (so it can be OR-merged into it) from df.url_hash."""
+    out = build_bloom(
+        df,
+        n_buckets=proto.n_buckets,
+        capacity_per_bucket=1,
+        depth=depth,
+        _params=(proto.n_bits, proto.n_hashes),
+    )
+    return out
 
 
 def bloom_maybe_seen_udf(spark, bloom: BucketedBloom):
