@@ -253,7 +253,8 @@ def run_scaling(args):
 
 def _write_baseline_md(res, r_lo, r_hi):
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    path = os.path.join(root, "BENCH", "BASELINE.md")
+    # BASELINE.md is hand-curated; machine runs log here:
+    path = os.path.join(root, "BENCH", "scaling_last_run.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(f"""# BENCH/BASELINE — measured results (sandbox)

@@ -632,6 +632,39 @@ def pivot_event_counts(spark, sf_dir):
     )
 
 
+@q("scan_snapshot")  # rows-only: engine-state op (S2 snapshot time travel)
+def scan_snapshot(spark, sf_dir):
+    """Commit two snapshots of a documents sample, then read the FIRST one
+    back — proves snapshot-id time travel returns the old file set."""
+    import tempfile
+
+    from .snapshots import ParquetManifestStore
+
+    store = ParquetManifestStore(tempfile.mkdtemp(prefix="spiderq-snap-"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    s1 = store.commit({"docs": docs.filter(F.col("doc_id") < 100)}, 1, None)
+    store.commit({"docs": docs}, 2, s1)
+    return store.read(spark, s1, "docs")
+
+
+@q("canonicalize_urls")  # rows-only: P2 pinned kernel (oracle is test-pinned)
+def canonicalize_urls(spark, sf_dir):
+    """RFC-3986 canonicalization over synthetic pre-normalization variants
+    derived from documents — one Arrow crossing, JVM-side hash."""
+    from .frontier import with_canonical
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("HTTP://"),
+            F.upper("source"),
+            F.lit(".Example:80/a/../d/"),
+            F.col("doc_id"),
+            F.lit("?x=%7e"),
+        ).alias("url")
+    )
+    return with_canonical(docs).select("url", "url_norm", "url_hash", "host")
+
+
 @q(
     "window_tumbling_hour",
     "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
