@@ -54,7 +54,7 @@ def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> 
     candidates = dedup_against_seen(spark, state.frontier, state.seen, None)
     budgeted = join_host_state(candidates, state.host_state, config.policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    selected = per_host_topk(assign_salts(gated), "host_budget")
+    selected = per_host_topk(assign_salts(gated), "host_budget", k_cap=int(budget))
     return to_schedule(selected, batch_id=1)
 
 

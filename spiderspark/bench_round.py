@@ -31,7 +31,11 @@ def one_round(spark, raw, seen, policy, use_bloom: bool, n_buckets: int, cap: in
     candidates = dedup_against_seen(spark, frontier, seen, bloom)
     budgeted = join_host_state(candidates, spark.createDataFrame([], HOST_STATE), policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    selected = per_host_topk(assign_salts(gated, skew_threshold=20_000), "host_budget")
+    selected = per_host_topk(
+        assign_salts(gated, skew_threshold=20_000),
+        "host_budget",
+        k_cap=int(policy.default_budget),
+    )
     schedule = to_schedule(selected, batch_id=1)
     digest_row = schedule.agg(
         F.count(F.lit(1)).alias("n"),

@@ -49,6 +49,10 @@ class CrawlConfig:
     skew_threshold: int = 50_000
     use_bloom: bool = True
     max_depth: int = 64
+    # reference parity: failed lookups are re-queued (SURVEY.md §0.3.5);
+    # a URL is retried until it has been scheduled max_attempts times, then
+    # enters the seen set as exhausted
+    max_attempts: int = 2
 
 
 @dataclass
@@ -130,16 +134,23 @@ def crawl_round(
     budgeted = join_host_state(candidates, state.host_state, config.policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
     salted = assign_salts(gated, config.skew_threshold)
-    selected = per_host_topk(salted, "host_budget")
+    # literal budget cap → Spark's WindowGroupLimit bounds the top-k sorts
+    caps = state.host_state.agg(F.max("capacity").alias("m")).collect()
+    k_cap = int(
+        max(config.policy.default_budget, (caps[0]["m"] or 0) if caps else 0)
+    )
+    selected = per_host_topk(salted, "host_budget", k_cap=k_cap)
 
     # 5. deterministic total order → the round's schedule (the invariant unit)
     schedule = _materialize(to_schedule(selected, batch_id))
 
     # 6. "fetch" (sandbox: join pages on url_hash; cluster: swap a fetching
     #    mapInPandas here) + pinned text extraction + lineage/metrics
-    fetched = schedule.join(
-        pages.select("url_hash", "html"), "url_hash", "left"
-    ).withColumn("text", extract_text_udf("html"))
+    fetched = _materialize(
+        schedule.join(
+            pages.select("url_hash", "html"), "url_hash", "left"
+        ).withColumn("text", extract_text_udf("html"))
+    )
     fetch_log = _materialize(
         fetched.select(
             F.lit(batch_id).cast("long").alias("batch_id"),
@@ -176,10 +187,29 @@ def crawl_round(
         )
     )
 
-    # 8. state update: seen' = seen ∪ scheduled; frontier' = (frontier ∖
-    #    scheduled) ∪ discovered, deduped, minus seen'
-    newly_seen = schedule.select(
+    # 8. state update with retry semantics (reference re-queues failures):
+    #    done = fetched OR attempts exhausted → seen; failed-with-budget-left
+    #    → requeued at attempt+1. seen' = seen ∪ done; frontier' =
+    #    (frontier ∖ scheduled) ∪ discovered ∪ requeued, deduped, ∖ seen'.
+    done_cond = F.col("html").isNotNull() | (
+        F.col("attempt") + 1 >= F.lit(config.max_attempts)
+    )
+    newly_seen = fetched.filter(done_cond).select(
         "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+    )
+    from .frontier import host_bucket_col
+
+    requeued = fetched.filter(~done_cond).select(
+        "url",
+        "url_norm",
+        "url_hash",
+        "host",
+        host_bucket_col(F.col("host")).alias("host_bucket"),
+        F.lit(0).cast("int").alias("salt"),
+        "priority",
+        "depth",
+        F.lit(batch_id).cast("long").alias("discovered_batch"),
+        (F.col("attempt") + 1).cast("int").alias("attempt"),
     )
     seen = _materialize(state.seen.unionByName(newly_seen))
 
@@ -187,9 +217,9 @@ def crawl_round(
         schedule.select("url_hash"), "url_hash", "left_anti"
     )
     frontier = _materialize(
-        dedup_within_batch(remaining.unionByName(new_frontier_rows)).join(
-            seen.select("url_hash"), "url_hash", "left_anti"
-        )
+        dedup_within_batch(
+            remaining.unionByName(new_frontier_rows).unionByName(requeued)
+        ).join(seen.select("url_hash"), "url_hash", "left_anti")
     )
 
     # 9. bloom': OR-merge a distributed partial built from this round's

@@ -55,22 +55,37 @@ def assign_salts(candidates: DataFrame, skew_threshold: int = SKEW_THRESHOLD) ->
     )
 
 
-def per_host_topk(candidates: DataFrame, k_col: str = "host_budget") -> DataFrame:
+def per_host_topk(
+    candidates: DataFrame, k_col: str = "host_budget", k_cap: int | None = None
+) -> DataFrame:
     """W1 two-phase skew-split top-k per host under the per-host budget.
 
     ``k_col`` is a per-row column (host budget from politeness); both phases
     order by the engine total order so the selection is deterministic.
+
+    ``k_cap``: a LITERAL upper bound on any host's budget. Spark only
+    inserts the ``WindowGroupLimit`` physical operator (partial per-group
+    top-k BEFORE the window sort/shuffle) for rank-vs-literal predicates;
+    keeping a literal conjunct alongside the per-host column bound turns the
+    full group sort into a bounded one — the difference between sorting a
+    heavy host's millions of candidates and keeping a k-row heap per task.
     """
+    def bounded(rn_col):
+        cond = rn_col <= F.col(k_col)
+        if k_cap is not None:
+            cond = (rn_col <= F.lit(int(k_cap))) & cond
+        return cond
+
     w1 = Window.partitionBy("host", "salt").orderBy(*order_cols())
     phase1 = (
         candidates.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col(k_col))
+        .filter(bounded(F.col("_r1")))
         .drop("_r1")
     )
     w2 = Window.partitionBy("host").orderBy(*order_cols())
     return (
         phase1.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= F.col(k_col))
+        .filter(bounded(F.col("_r2")))
         .drop("_r2")
     )
 
@@ -117,7 +132,7 @@ def to_schedule(selected: DataFrame, batch_id: int) -> DataFrame:
     ranked = global_rank(
         selected.select(
             "url", "url_norm", "url_hash", "host", "priority", "depth",
-            "discovered_batch",
+            "discovered_batch", "attempt",
         )
     )
     return ranked.select(
@@ -126,4 +141,5 @@ def to_schedule(selected: DataFrame, batch_id: int) -> DataFrame:
         "url", "url_norm", "url_hash", "host",
         F.col("priority").cast("double"),
         F.col("depth").cast("int"),
+        F.col("attempt").cast("int"),
     )

@@ -111,6 +111,7 @@ SCHEDULE = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("priority", T.DoubleType(), False),
         T.StructField("depth", T.IntegerType(), False),
+        T.StructField("attempt", T.IntegerType(), False),
     ]
 )
 

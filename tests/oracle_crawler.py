@@ -38,6 +38,7 @@ class OracleConfig:
     default_budget: float = 10.0
     round_seconds: float = 60.0
     max_depth: int = 64
+    max_attempts: int = 2
 
 
 @dataclass
@@ -58,6 +59,7 @@ class Item:
     priority: float
     depth: int
     discovered_batch: int
+    attempt: int = 0
 
     @property
     def order_key(self):
@@ -65,19 +67,24 @@ class Item:
 
     @property
     def dedup_key(self):
-        # mirror of frontier.dedup_within_batch: min struct starting
-        # (priority, depth, discovered_batch, url)
-        return (self.priority, self.depth, self.discovered_batch, self.url)
+        # mirror of frontier.dedup_within_batch: min struct over
+        # (priority, depth, discovered_batch, url, …, attempt)
+        return (self.priority, self.depth, self.discovered_batch, self.url,
+                self.attempt)
 
 
-def _make_item(url: str, priority: float, depth: int, batch: int) -> Item | None:
+def _make_item(
+    url: str, priority: float, depth: int, batch: int, attempt: int = 0
+) -> Item | None:
     norm = canonicalize(url)
     if not norm or not norm.startswith("http") or len(norm) > MAX_URL_LEN:
         return None
     host = host_of(norm)
     if not host:
         return None
-    return Item(url, norm, xxhash64_int(norm), host, float(priority), depth, batch)
+    return Item(
+        url, norm, xxhash64_int(norm), host, float(priority), depth, batch, attempt
+    )
 
 
 def _dedup(items: list[Item]) -> list[Item]:
@@ -161,12 +168,23 @@ class OracleCrawler:
 
         scheduled.sort(key=lambda it: it.order_key)
 
-        # fetch + extract + discover
+        # fetch + extract + discover + retry (reference re-queues failures)
         discovered: list[Item] = []
+        requeued: list[Item] = []
+        done_hashes: set[int] = set()
         for it in scheduled:
             html = self.pages.get(it.url_hash)
             if html is None:
+                if it.attempt + 1 >= cfg.max_attempts:
+                    done_hashes.add(it.url_hash)
+                else:
+                    requeued.append(
+                        Item(it.url, it.url_norm, it.url_hash, it.host,
+                             it.priority, it.depth, self.batch_id,
+                             it.attempt + 1)
+                    )
                 continue
+            done_hashes.add(it.url_hash)
             self.texts[it.url_norm] = extract_text(html)
             if it.depth < cfg.max_depth:
                 for link in extract_outlinks(html, it.url):
@@ -176,9 +194,9 @@ class OracleCrawler:
 
         # state update — mirrors crawl.crawl_round steps 8-10 exactly
         sched_hashes = {it.url_hash for it in scheduled}
-        self.seen |= sched_hashes
+        self.seen |= done_hashes
         remaining = [it for it in self.frontier if it.url_hash not in sched_hashes]
-        merged = _dedup(remaining + discovered)
+        merged = _dedup(remaining + discovered + requeued)
         self.frontier = [it for it in merged if it.url_hash not in self.seen]
 
         counts: dict[str, int] = {}

@@ -41,7 +41,7 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     assert [f.name for f in df.schema.fields] == [
         "batch_id", "rank", "url", "url_norm", "url_hash", "host",
-        "priority", "depth",
+        "priority", "depth", "attempt",
     ]
 
 

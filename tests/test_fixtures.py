@@ -53,3 +53,23 @@ def test_spark_matches_golden_fixture(spark):
     seen = sorted(r["url_hash"] for r in state.seen.collect())
     digest = hashlib.sha256(",".join(str(h) for h in seen).encode()).hexdigest()
     assert digest == golden["seen_digest"]
+
+
+def test_retry_semantics_oracle():
+    """A dead URL (not in the corpus) is scheduled exactly max_attempts
+    times, then enters the seen set as exhausted — mirroring the
+    reference's requeue-on-failure behavior."""
+    from spiderspark.hashing import xxhash64_int
+    from tests.oracle_crawler import OracleConfig, OracleCrawler
+
+    dead = "http://deadhost.example/gone"
+    oracle = OracleCrawler(
+        [(dead, 0.0)], pages={}, robots=None,
+        config=OracleConfig(default_budget=5.0, max_attempts=3),
+    )
+    h = xxhash64_int("http://deadhost.example/gone")
+    rounds = oracle.run(5)
+    appearances = sum(1 for r in rounds for it in r if it.url_hash == h)
+    assert appearances == 3
+    assert h in oracle.seen
+    assert oracle.frontier == []
