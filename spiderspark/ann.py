@@ -177,6 +177,95 @@ def lsh_bucketed_topk(
     )
 
 
+def _train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-side sample (normalized
+    vectors, cosine ≡ dot). Sample is small by construction; the expensive
+    assignment of the full corpus is distributed."""
+    rng = np.random.RandomState(_PLANES_SEED)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | None = None,
+    n_probe: int = 4,
+    train_sample: int = 10_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k.
+
+    Train: k-means centroids on a deterministic driver-side sample.
+    Index: one distributed pass assigns every corpus vector its nearest
+    centroid (numpy GEMM per Arrow batch) — the inverted lists are just a
+    ``list_id`` column, so at scale the index IS the table layout
+    (partition/cluster by list_id; queries touch n_probe lists only).
+    Search: each query probes its n_probe nearest centroids → equi-join on
+    list_id → exact rescoring inside the probed lists.
+    """
+    spark = corpus.sparkSession
+
+    sample_rows = corpus.select(vec_col).limit(train_sample).collect()
+    sample = np.array([r[0] for r in sample_rows], dtype=np.float64)
+    if n_centroids is None:
+        n_centroids = max(2, min(256, int(np.sqrt(len(sample)) * 2)))
+    n_probe = min(n_probe, n_centroids)
+    cents = _train_centroids(sample, n_centroids)
+    bc_cents = spark.sparkContext.broadcast(cents)
+
+    @F.pandas_udf(T.IntegerType())
+    def list_udf(vec: pd.Series) -> pd.Series:
+        c = bc_cents.value
+        m = np.array(vec.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    corpus_l = corpus.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
+    ).withColumn("list_id", list_udf("n_vec"))
+
+    probe_rows = []
+    for r in queries_df.select(id_col, vec_col).collect():
+        v = np.asarray(r[1], dtype=np.float64)
+        vn = v / max(np.linalg.norm(v), 1e-12)
+        order = np.argsort(-(vn @ cents.T), kind="stable")[:n_probe]
+        for lid in order:
+            probe_rows.append((int(r[0]), [float(x) for x in v], int(lid)))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_vec array<double>, list_id int"
+    )
+
+    joined = corpus_l.join(F.broadcast(probes), "list_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("n_vec").cast("array<double>"), "q_vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    scored = joined.withColumn(
+        "cos", dot / (norm(F.col("n_vec").cast("array<double>")) * norm(F.col("q_vec")))
+    ).dropDuplicates(["q_id", "n_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-contract registrations (float geometry → rows-only checks; the
 # recall property vs brute force is pinned by tests/test_ann.py instead)
@@ -198,3 +287,9 @@ def ann_bruteforce(spark, sf_dir):
 def ann_lsh(spark, sf_dir):
     corpus, queries_df = _split(spark, sf_dir)
     return lsh_bucketed_topk(corpus, queries_df, k=10)
+
+
+@q("ann_ivf")
+def ann_ivf(spark, sf_dir):
+    corpus, queries_df = _split(spark, sf_dir)
+    return ivf_topk(corpus, queries_df, k=10)

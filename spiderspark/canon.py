@@ -68,6 +68,13 @@ def _pct_norm_match(m: re.Match) -> str:
     return "%%%02X" % octet
 
 
+def _idna_encode(host: str) -> str:
+    try:
+        return host.encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return ""
+
+
 def remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4, verbatim. Called only on the rare masked subset."""
     out: list[str] = []
@@ -115,6 +122,12 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
         .str.lower()
         .str.rstrip(".")
     )
+    # IDN hosts → punycode (rare-case subset only; RFC 3490 via the stdlib
+    # idna codec, pinned). Unencodable hosts fall through to the validity
+    # gate below and are rejected.
+    non_ascii = host.str.contains(r"[^\x00-\x7F]", regex=True).fillna(False)
+    if non_ascii.any():
+        host = host.mask(non_ascii, host[non_ascii].map(_idna_encode))
     port = auth.str.extract(r":(\d+)$")[0]
     is_default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")

@@ -47,6 +47,9 @@ CANON_CASES = [
     ("http://ex ample.com/x", ""),
     ("http://-bad-.com/", ""),
     ("http://127.0.0.1:8080/x", "http://127.0.0.1:8080/x"),
+    # IDN hosts → punycode (stdlib idna codec, pinned)
+    ("http://münchen.example/pfad", "http://xn--mnchen-3ya.example/pfad"),
+    ("http://中文.example/x", "http://xn--fiq228c.example/x"),
 ]
 
 

@@ -120,6 +120,28 @@ def test_ann_lsh_recall_planted(spark):
     assert hits >= 8, f"planted-neighbor recall {hits}/10"
 
 
+def test_ann_ivf_recall_planted(spark):
+    """IVF with multi-probe must recall planted near-duplicates."""
+    from spiderspark.ann import ivf_topk
+
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    noisy = base[:10] + 0.05 * rng.standard_normal((10, 16))
+    queries = spark.createDataFrame(
+        [(100 + i, [float(x) for x in noisy[i]]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    approx = ivf_topk(corpus, queries, k=1, n_centroids=8, n_probe=3).toPandas()
+    found = {int(r.q_id) - 100: int(r.n_id) for r in approx.itertuples()}
+    hits = sum(1 for i in range(10) if found.get(i) == i)
+    assert hits >= 8, f"IVF planted-neighbor recall {hits}/10"
+
+
 def test_token_count_and_quality(spark, docs):
     out = {r["doc_id"]: r for r in with_quality(with_token_count(docs)).collect()}
     assert out[0]["n_tokens"] == len(BASE.split())
