@@ -155,6 +155,52 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
+    """End-to-end loop benchmark: full crawl rounds (schedule + fetch join +
+    byte-identical extraction + outlink discovery + state update + politeness
+    accounting) over a distributed synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from .crawl import CrawlConfig, crawl
+    from .pages import pages_df_dist, seeds_pdf
+    from .politeness import HostPolicy
+    from .schemas import SEEDS
+
+    import shutil
+    import tempfile
+
+    # corpus synthesized OUTSIDE the clock and read from parquet — the
+    # production shape (pages live in an Iceberg/parquet table)
+    corpus_dir = tempfile.mkdtemp(prefix="spiderbench-pages-")
+    pages_df_dist(spark, corpus_size).write.parquet(f"{corpus_dir}/pages")
+    pages = spark.read.parquet(f"{corpus_dir}/pages")
+    seeds = spark.createDataFrame(seeds_pdf(2000, corpus_size), schema=SEEDS)
+    config = CrawlConfig(policy=HostPolicy(default_budget=2000.0))
+
+    # warmup round on a small corpus (worker spin-up)
+    crawl(spark, seeds.limit(50), pages.limit(5000), None, rounds=1, config=config)
+
+    t0 = time.time()
+    state, schedules, logs = crawl(spark, seeds, pages, None, rounds=rounds, config=config)
+    scheduled = sum(s.count() for s in schedules)
+    fetched = sum(
+        l.filter(F.col("status") == "fetched").count() for l in logs
+    )
+    wall = time.time() - t0
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    return {
+        "corpus_size": corpus_size,
+        "rounds": rounds,
+        "scheduled": scheduled,
+        "fetched": fetched,
+        "crawl_wall_s": round(wall, 3),
+        "pages_fetched_per_sec": round(fetched / wall, 1),
+        "urls_scheduled_per_sec": round(scheduled / wall, 1),
+        "final_seen": state.seen.count(),
+        "final_frontier": state.frontier.count(),
+    }
+
+
 def main(argv=None):
     import argparse
 
@@ -163,7 +209,8 @@ def main(argv=None):
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--frontier", type=int, default=int(os.environ.get("SPIDERSPARK_BENCH_FRONTIER", "2000000")))
     ap.add_argument("--headline-only", action="store_true")
-    ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/BASELINE.md")
+    ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/scaling_last_run.md")
+    ap.add_argument("--crawl", action="store_true", help="run the end-to-end crawl-loop benchmark instead")
     args = ap.parse_args(argv)
 
     if args.scaling:
@@ -185,6 +232,16 @@ def main(argv=None):
         "spiderspark-bench", cores=args.cores,
         shuffle_partitions=args.cores * 2, extra=extra,
     )
+    if args.crawl:
+        res = run_crawl_bench(spark)
+        print(json.dumps({
+            "metric": "crawl_pages_fetched_per_sec",
+            "value": res["pages_fetched_per_sec"],
+            "unit": "pages/sec",
+            "detail": res,
+        }))
+        spark.stop()
+        return res
     head = run_headline(spark, args.frontier)
     queries = {} if args.headline_only else run_queries(spark, args.sf_dir)
     sf = args.sf_dir.rstrip("/").split("sf")[-1]

@@ -311,7 +311,9 @@ def crawl(
     """Convenience driver: run ``rounds`` rounds; returns (state, schedules,
     fetch_logs) with schedules as a list of per-round DataFrames."""
     config = config or CrawlConfig()
-    pages_k = keyed_pages(pages)
+    # key + persist the pages side ONCE: the fetch join probes it every
+    # round; without this the corpus scan + canonicalization re-runs per round
+    pages_k = keyed_pages(pages).persist()
     if state is None:
         state = init_state(spark, seeds, robots, config)
     schedules, logs = [], []
@@ -319,4 +321,5 @@ def crawl(
         state, schedule, fetch_log = crawl_round(spark, state, pages_k, config, store)
         schedules.append(schedule)
         logs.append(fetch_log)
+    pages_k.unpersist()
     return state, schedules, logs
