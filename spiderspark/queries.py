@@ -632,6 +632,21 @@ def pivot_event_counts(spark, sf_dir):
     )
 
 
+@q(
+    "unpivot_supplier",
+    "SELECT s_suppkey, 'acctbal' AS metric, round(s_acctbal, 4) AS value FROM supplier "
+    "UNION ALL SELECT s_suppkey, 'nationkey' AS metric, "
+    "CAST(s_nationkey AS DOUBLE) AS value FROM supplier",
+)
+def unpivot_supplier(spark, sf_dir):
+    # unpivot via stack() — the inverse of pivot_event_counts
+    return _t(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey",
+        "stack(2, 'acctbal', round(s_acctbal, 4), "
+        "'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, value)",
+    )
+
+
 @q("scan_snapshot")  # rows-only: engine-state op (S2 snapshot time travel)
 def scan_snapshot(spark, sf_dir):
     """Commit two snapshots of a documents sample, then read the FIRST one
