@@ -51,10 +51,10 @@ def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     config = CrawlConfig(policy=HostPolicy(default_budget=budget), use_bloom=False)
     state = init_state(spark, _documents_as_seeds(spark, sf_dir), None, config)
-    candidates = dedup_against_seen(spark, state.frontier, state.seen, None)
+    candidates = dedup_against_seen(spark, state.frontier, state.seen, state.sketch)
     budgeted = join_host_state(candidates, state.host_state, config.policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    selected = per_host_topk(assign_salts(gated), "host_budget", k_cap=int(budget))
+    selected = per_host_topk(assign_salts(gated), "host_budget", k_cap=state.k_cap)
     return to_schedule(selected, batch_id=1)
 
 

@@ -67,7 +67,7 @@ def main():
     t0 = time.time()
     if store.head() is not None:
         state = resume(spark, store, config)
-        pages_k = keyed_pages(pages)
+        pages_k = keyed_pages(pages, n_parts=config.state_buckets)
         scheduled = 0
         for _ in range(args.rounds):
             state, schedule, _ = crawl_round(spark, state, pages_k, config, store)
@@ -82,8 +82,8 @@ def main():
     print(json.dumps({
         "rounds": args.rounds,
         "scheduled": scheduled,
-        "seen": state.seen.count(),
-        "frontier": state.frontier.count(),
+        "seen": state.seen.total_rows(),
+        "frontier": state.frontier.total_rows(),
         "snapshot": state.snapshot_id,
         "wall_s": round(time.time() - t0, 2),
     }))

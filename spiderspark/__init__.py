@@ -11,7 +11,8 @@ Module map (SURVEY.md §7.6):
 - ``schemas``     fixed declared StructTypes for every engine table
 - ``canon``       pure kernels: RFC-3986 canonicalize, HTML→text, robots
 - ``hashing``     pure-python XXH64 (bit-identical to Spark's ``xxhash64``)
-- ``sketch``      Bloom filter build / merge / membership (numpy, vectorized)
+- ``sketch``      Bloom + cuckoo filters (numpy, vectorized)
+- ``state``       keyed segmented state tables (shuffle-free repeat rounds)
 - ``frontier``    canonicalize+hash+dedup DataFrame pipeline
 - ``politeness``  per-host token buckets + robots gating
 - ``schedule``    heavy-host salting, per-host top-k, deterministic ordering

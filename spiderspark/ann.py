@@ -69,13 +69,13 @@ def brute_force_topk(
             c = np.array(pdf["_vec"].tolist(), dtype=np.float64)
             c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
             sims = c @ mat_q.T  # (batch, n_queries) — one GEMM
-            # per-partition pre-top-k: keep only k best per query locally
+            # per-partition pre-top-k under the SAME total order as the
+            # final window (cos desc, n_id asc): a bare argpartition keeps
+            # an arbitrary member of cos-tied candidates at the k boundary,
+            # making the global result partitioning-dependent
             for qi in range(len(ids_q)):
                 s = sims[:, qi]
-                if len(s) > k:
-                    idx = np.argpartition(-s, k)[:k]
-                else:
-                    idx = np.arange(len(s))
+                idx = np.lexsort((n_ids, -s))[:k]
                 yield pd.DataFrame(
                     {
                         "q_id": ids_q[qi],

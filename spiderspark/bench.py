@@ -77,17 +77,20 @@ def run_headline(
     from pyspark.sql import functions as F
 
     from .bench_round import one_round
-    from .frontier import seeds_to_frontier
+    from .frontier import SketchRef, seeds_to_frontier, write_sketch_delta
     from .politeness import HostPolicy
+    from .state import SegmentedTable
 
     parallelism = spark.sparkContext.defaultParallelism
+    n_buckets = 32  # state/sketch bucket count — FIXED across parallelism
+    # levels: the layout is a property of the stored state, not the cluster
     # realistic politeness: 1000 URLs/host/round — heavy hosts stay
     # skew-split; the metric counts the whole deduped frontier either way
     policy = HostPolicy(default_budget=1000.0)
 
     # input synthesis happens OUTSIDE the clock: a real round reads its
-    # frontier and seen tables from storage, so the timed pipeline starts
-    # at a parquet scan (this also matches the snapshot-store design)
+    # frontier, seen and sketch state from storage, so the timed pipeline
+    # starts at a parquet scan (this also matches the snapshot-store design)
     in_dir = tempfile.mkdtemp(prefix="spiderbench-in-")
     frontier_urls_dist(spark, n_frontier, parallelism).write.parquet(f"{in_dir}/raw")
     seeds_to_frontier(
@@ -96,10 +99,18 @@ def run_headline(
         "first_batch", F.lit(0).cast("long")
     ).write.parquet(f"{in_dir}/seen")
     raw = spark.read.parquet(f"{in_dir}/raw")
-    seen = spark.read.parquet(f"{in_dir}/seen").persist()
-    seen.count()
+    seen_table = SegmentedTable.from_df(
+        spark.read.parquet(f"{in_dir}/seen"), n_parts=n_buckets
+    )
 
-    cap = max(4096, n_frontier // 32)
+    cap = max(4096, n_frontier // n_buckets)
+    sketch = None
+    if use_bloom:
+        sketch = SketchRef.create(n_buckets, cap, 0.01)
+        sketch = write_sketch_delta(
+            seen_table.segments[0], f"{in_dir}/sketch", sketch,
+            assume_keyed_layout=True,
+        )
 
     t_w0 = time.time()
     if warmup:
@@ -107,20 +118,21 @@ def run_headline(
         small_dir = tempfile.mkdtemp(prefix="spiderbench-warm-")
         small.write.parquet(f"{small_dir}/raw")
         one_round(
-            spark, spark.read.parquet(f"{small_dir}/raw"), seen, policy,
-            use_bloom, 32, 4096,
+            spark, spark.read.parquet(f"{small_dir}/raw"), seen_table, sketch,
+            policy, n_buckets, small_dir,
         )
         shutil.rmtree(small_dir, ignore_errors=True)
     t_warm = time.time() - t_w0
 
+    delta_root = tempfile.mkdtemp(prefix="spiderbench-delta-")
     rounds = [
-        one_round(spark, raw, seen, policy, use_bloom, 32, cap)
+        one_round(spark, raw, seen_table, sketch, policy, n_buckets, delta_root)
         for _ in range(max(1, repeats))
     ]
     best = min(rounds, key=lambda r: r["wall_s"])
     assert len({r["schedule_digest"] for r in rounds}) == 1, "nondeterministic schedule!"
 
-    seen.unpersist()
+    shutil.rmtree(delta_root, ignore_errors=True)
     shutil.rmtree(in_dir, ignore_errors=True)
     return {
         "n_frontier": n_frontier,
@@ -161,7 +173,8 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
     accounting) over a distributed synthetic corpus."""
     from pyspark.sql import functions as F
 
-    from .crawl import CrawlConfig, crawl
+    from .crawl import CrawlConfig, crawl, crawl_round, init_state, keyed_pages
+    from .metrics import ShuffleWindow
     from .pages import pages_df_dist, seeds_pdf
     from .politeness import HostPolicy
     from .schemas import SEEDS
@@ -181,11 +194,31 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
     crawl(spark, seeds.limit(50), pages.limit(5000), None, rounds=1, config=config)
 
     t0 = time.time()
-    state, schedules, logs = crawl(spark, seeds, pages, None, rounds=rounds, config=config)
-    scheduled = sum(s.count() for s in schedules)
-    fetched = sum(
-        l.filter(F.col("status") == "fetched").count() for l in logs
-    )
+    pages_k = keyed_pages(pages, n_parts=config.state_buckets)
+    state = init_state(spark, seeds, None, config)
+    scheduled = fetched = 0
+    round_stats = []
+    for _ in range(rounds):
+        w = ShuffleWindow(spark).start()
+        tr = time.time()
+        state, schedule, log = crawl_round(spark, state, pages_k, config)
+        n_sched = schedule.count()
+        n_fetch = log.filter(F.col("status") == "fetched").count()
+        stat = {
+            "wall_s": round(time.time() - tr, 3),
+            "scheduled": n_sched,
+            "fetched": n_fetch,
+        }
+        shuf = w.stop()
+        if shuf:
+            # the scale story in one number: rounds ≥ 2 shuffle O(delta +
+            # schedule), never O(frontier) — see docs/PLANS.md State layout
+            stat["shuffle_write_mb"] = round(
+                shuf["shuffle_write_bytes"] / 1e6, 2
+            )
+        scheduled += n_sched
+        fetched += n_fetch
+        round_stats.append(stat)
     wall = time.time() - t0
     shutil.rmtree(corpus_dir, ignore_errors=True)
     return {
@@ -196,8 +229,9 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
         "crawl_wall_s": round(wall, 3),
         "pages_fetched_per_sec": round(fetched / wall, 1),
         "urls_scheduled_per_sec": round(scheduled / wall, 1),
-        "final_seen": state.seen.count(),
-        "final_frontier": state.frontier.count(),
+        "per_round": round_stats,
+        "final_seen": state.seen.total_rows(),
+        "final_frontier": state.frontier.total_rows(),
     }
 
 

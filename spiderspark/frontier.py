@@ -7,24 +7,35 @@ Scale notes (the parts that must survive 1000 executors × 100 TB):
   each ArrowEvalPython node breaks WholeStageCodegen — batch the UDF work).
 - ``url_hash`` is Spark's built-in ``xxhash64`` (JVM-side, codegen'd), NOT a
   UDF — only the RFC-3986 string rewrite needs Python.
-- The exact-tier dedup is a left_anti join hash-partitioned on url_hash;
-  Catalyst/AQE picks SMJ or shuffled-hash. The bloom pre-filter (broadcast
-  bits + vectorized membership) runs FIRST so only the "maybe-seen" sliver
-  pays the shuffle — at 10^10 seen URLs with 1% fpp, 99% of genuinely-new
-  URLs skip the exact join entirely.
-- The bloom build is per-partition (one partial filter per Spark partition)
-  merged via ``treeAggregate`` (BASELINE.json:6) — log-depth reduction, no
-  driver hot-spot. Partials are built Arrow-side in mapInPandas (vectorized
-  numpy), so treeAggregate only ever moves already-built bit arrays.
+- The exact-tier dedup is a left_anti join on url_hash; with the seen set
+  stored in the keyed layout (state.materialize_keyed) it plans as a
+  co-partitioned SMJ with zero exchange and zero sort on the big side.
+- The URL-seen sketch is FULLY DISTRIBUTED (SURVEY.md §2.4 A4/J2): the
+  sketch lives as bucket-partitioned parquet (one Bloom per
+  ``pmod(hash(url_hash), n_buckets)`` bucket, hive layout ``bucket=<b>/``);
+  a membership task reads ONLY the bucket slices its rows route to — no
+  executor, broadcast, or driver ever holds the whole sketch. At 10^10 keys
+  / 1% fpp the sketch is ~12 GB; each of 1000 tasks touches ~12 MB. New
+  keys are folded in as per-partition partial filters (vectorized numpy over
+  Arrow batches) written as delta directories; ``compact_sketch`` OR-merges
+  deltas distributedly (groupBy(bucket) + bit-OR, ≤ a handful of rows per
+  group). ``build_bloom`` keeps the treeAggregate merge seam
+  (BASELINE.json:6) for bootstrap/standalone sketch builds.
 """
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.storagelevel import StorageLevel
 
 from .canon import canonicalize_series, host_of_series
 from .sketch import Bloom, BucketedBloom, optimal_params
+from .state import SegmentedTable
 
 N_HOST_BUCKETS = 64  # frontier partition count at sandbox scale; cluster: O(cores)
 
@@ -100,6 +111,8 @@ def dedup_within_batch(frontier: DataFrame) -> DataFrame:
     ``dropDuplicates`` keeps an arbitrary row under parallelism, which would
     break the ordering fixture; a min_by-style groupBy keeps determinism AND
     map-side partial aggregation (vs a window over a full shuffle+sort).
+    When the input is already hash-partitioned by url_hash the groupBy plans
+    with no exchange at all.
     """
     ordered_struct = F.struct(
         F.col("priority"), F.col("depth"), F.col("discovered_batch"),
@@ -116,6 +129,272 @@ def anti_join_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
     return frontier.join(seen.select("url_hash"), "url_hash", "left_anti")
 
 
+# ---------------------------------------------------------------------------
+# Distributed URL-seen sketch (A4 build + J2 membership)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SketchRef:
+    """Handle to the distributed sketch: a list of bucket-partitioned
+    parquet directories (base + LSM-style deltas, OR-equivalent) plus the
+    shared Bloom parameters. Readers OR all rows they find for a bucket, so
+    deltas need no eager merge; ``compact_sketch`` bounds the list."""
+
+    paths: tuple[str, ...]
+    n_buckets: int
+    n_bits: int
+    n_hashes: int
+
+    @classmethod
+    def create(cls, n_buckets: int, capacity_per_bucket: int, fpp: float) -> "SketchRef":
+        n_bits, n_hashes = optimal_params(max(1, capacity_per_bucket), fpp)
+        return cls((), n_buckets, n_bits, n_hashes)
+
+
+def sketch_bucket_col(n_buckets: int, key: str = "url_hash") -> Column:
+    """Bucket routing = pmod(murmur3(url_hash), n_buckets) — the SAME
+    function Spark's ``repartition(n, key)`` uses, so a table stored in the
+    keyed layout with n_parts == n_buckets has exactly one bucket per
+    partition: a membership task reads exactly one sketch slice."""
+    return F.pmod(F.hash(key), F.lit(n_buckets)).cast("int")
+
+
+_PARTIAL_SCHEMA = "bucket int, kind string, bits binary, n_bits long, n_hashes int"
+
+
+def _partials_fn(n_bits: int, n_hashes: int):
+    def partials(batches):
+        # one partial Bloom per bucket present in THIS partition — with
+        # bucket-aligned input each partition holds exactly one bucket, so
+        # total partial volume is n_buckets × bucket_bits, independent of
+        # parallelism (what keeps the merge from moving hundreds of GB)
+        local: dict[int, Bloom] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["url_hash"].to_numpy()
+            buckets = pdf["_bucket"].to_numpy()
+            for b in pd.unique(buckets):
+                f = local.get(int(b))
+                if f is None:
+                    f = local[int(b)] = Bloom(n_bits, n_hashes)
+                f.add(keys[buckets == b])
+        if local:
+            yield pd.DataFrame(
+                {
+                    "bucket": list(local.keys()),
+                    "kind": "bloom",
+                    "bits": [f.to_bytes() for f in local.values()],
+                    "n_bits": np.int64(n_bits),
+                    "n_hashes": np.int32(n_hashes),
+                }
+            )
+
+    return partials
+
+
+def sketch_partial_rows(
+    keys_df: DataFrame, ref: SketchRef, assume_keyed_layout: bool = False
+) -> DataFrame:
+    """Per-partition partial filters as (bucket, bits) rows — stage 1 of the
+    distributed build. ``assume_keyed_layout=True`` skips the bucket
+    exchange when the input is already in the keyed layout with
+    n_parts == n_buckets (each partition IS one bucket)."""
+    keyed = keys_df.select("url_hash").withColumn(
+        "_bucket", sketch_bucket_col(ref.n_buckets)
+    )
+    if not assume_keyed_layout:
+        keyed = keyed.repartition(ref.n_buckets, "_bucket")
+    return keyed.mapInPandas(
+        _partials_fn(ref.n_bits, ref.n_hashes), schema=_PARTIAL_SCHEMA
+    )
+
+
+def write_sketch_delta(
+    keys_df: DataFrame,
+    path: str,
+    ref: SketchRef,
+    assume_keyed_layout: bool = False,
+) -> SketchRef:
+    """Fold new keys into the sketch by writing a bucket-partitioned delta
+    directory (hive layout). No executor ever holds more than its own
+    partition's buckets; nothing visits the driver."""
+    rows = sketch_partial_rows(keys_df, ref, assume_keyed_layout)
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return SketchRef(ref.paths + (path,), ref.n_buckets, ref.n_bits, ref.n_hashes)
+
+
+def sketch_df(spark, ref: SketchRef) -> DataFrame:
+    """All sketch rows as one DataFrame (commit/inspection path). Multiple
+    rows per bucket are legal — readers OR them."""
+    from .schemas import SEEN_SKETCH
+
+    dfs = []
+    for p in ref.paths:
+        df = spark.read.parquet(p)
+        dfs.append(
+            df.select(
+                F.col("bucket").cast("int"),
+                F.col("kind"),
+                F.col("bits"),
+                F.col("n_bits").cast("long"),
+                F.col("n_hashes").cast("int"),
+            )
+        )
+    if not dfs:
+        return spark.createDataFrame([], SEEN_SKETCH)
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
+    """Distributed OR-merge of all delta directories: groupBy(bucket) +
+    bit-OR (each group holds at most one row per delta — a handful), then
+    rewrite as a single bucket-partitioned directory."""
+    n_words = ref.n_bits // 64
+
+    def or_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        words = np.zeros(n_words, dtype=np.uint64)
+        for raw in pdf["bits"]:
+            words |= np.frombuffer(raw, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"].iloc[:1],
+                "kind": "bloom",
+                "bits": [words.tobytes()],
+                "n_bits": np.int64(ref.n_bits),
+                "n_hashes": np.int32(ref.n_hashes),
+            }
+        )
+
+    merged = (
+        sketch_df(spark, ref)
+        .groupBy("bucket")
+        .applyInPandas(or_rows, schema=_PARTIAL_SCHEMA)
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    return SketchRef((out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes)
+
+
+def _load_bucket_words(paths, bucket: int, n_words: int) -> np.ndarray:
+    """Worker-side: OR together this bucket's bit rows across all sketch
+    directories — the task touches ONLY its bucket's slices."""
+    import pyarrow.dataset as pads
+
+    words = np.zeros(n_words, dtype=np.uint64)
+    for p in paths:
+        try:
+            dset = pads.dataset(p, format="parquet", partitioning="hive")
+        except Exception:
+            continue  # empty delta (no files written) — zero contribution
+        if "bucket" not in dset.schema.names:
+            continue
+        tbl = dset.to_table(
+            filter=pads.field("bucket") == int(bucket), columns=["bits"]
+        )
+        for raw in tbl.column("bits").to_pylist():
+            words |= np.frombuffer(raw, dtype=np.uint64)
+    return words
+
+
+def sketch_flag_maybe_seen(df: DataFrame, ref: SketchRef) -> DataFrame:
+    """J2 membership, fully distributed: route rows by bucket, test against
+    ONLY that bucket's bits (side-read from the bucket-partitioned sketch —
+    no broadcast, no driver-resident sketch). Adds boolean ``_maybe``;
+    False ⇒ DEFINITELY unseen (Bloom has no false negatives).
+
+    Runs partition-local (mapInPandas): when ``df`` is in the keyed layout
+    with n_parts == n_buckets each task loads exactly one bucket slice; for
+    any other layout it loads the (cached) slices its rows route to —
+    correct either way, no exchange inserted either way.
+    """
+    paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
+    n_words = n_bits // 64
+    in_cols = df.columns
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("_maybe", T.BooleanType())]
+    )
+
+    def membership(batches):
+        blooms: dict[int, Bloom] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf["url_hash"].to_numpy()
+            buckets = pdf["_bucket"].to_numpy()
+            out = np.zeros(len(pdf), dtype=bool)
+            for b in pd.unique(buckets):
+                f = blooms.get(int(b))
+                if f is None:
+                    f = blooms[int(b)] = Bloom(
+                        n_bits, n_hashes, _load_bucket_words(paths, int(b), n_words)
+                    )
+                mask = buckets == b
+                out[mask] = f.contains(keys[mask])
+            yield pdf[in_cols].assign(_maybe=out)
+
+    return (
+        df.withColumn("_bucket", sketch_bucket_col(ref.n_buckets))
+        .mapInPandas(membership, schema=out_schema)
+    )
+
+
+def dedup_against_seen(
+    spark,
+    frontier: SegmentedTable,
+    seen: SegmentedTable,
+    sketch: SketchRef | None = None,
+    persist_handles: list | None = None,
+) -> DataFrame:
+    """J2+J1 composed per frontier segment: sketch pre-filter (if present)
+    then exact residual against the seen segments.
+
+    definite-new (sketch says unseen) ∪ (maybe-seen ∖ seen) — correct
+    because Bloom false negatives are impossible; false positives just take
+    the exact path. Exchange budget: the big frontier segments are NEVER
+    exchanged (membership is partition-local; the exact tier either runs
+    co-partitioned against the stored seen layout, or only on the maybe-seen
+    sliver). ``persist_handles`` collects the per-segment flagged frames
+    (each feeds two branches); the caller unpersists after materializing.
+    """
+    outs = []
+    use_sketch = sketch is not None and len(sketch.paths) > 0
+    for seg in frontier.segments:
+        if not use_sketch:
+            # exact tier only: chained co-partitioned anti joins — zero
+            # exchange, zero sort on both sides (both stored keyed+sorted)
+            outs.append(seen.anti_probe(seg))
+            continue
+        flagged = sketch_flag_maybe_seen(seg, sketch).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if persist_handles is not None:
+            persist_handles.append(flagged)
+        definite = flagged.filter(~F.col("_maybe")).drop("_maybe")
+        sliver = (
+            flagged.filter(F.col("_maybe"))
+            .drop("_maybe")
+            .repartition(seen.n_parts, "url_hash")
+        )
+        outs.append(definite.unionByName(seen.anti_probe(sliver)))
+    if not outs:
+        from .schemas import FRONTIER
+
+        return spark.createDataFrame([], FRONTIER)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# treeAggregate merge seam (BASELINE.json:6) — bootstrap / standalone builds
+# ---------------------------------------------------------------------------
+
+
 def build_bloom(
     df: DataFrame,
     n_buckets: int,
@@ -124,14 +403,13 @@ def build_bloom(
     depth: int = 2,
     _params: tuple[int, int] | None = None,
 ) -> BucketedBloom:
-    """A4: per-partition partial Blooms merged via treeAggregate.
+    """A4: per-partition partial Blooms merged via treeAggregate — the
+    mandated merge seam, used for bootstrap/standalone sketch builds (the
+    crawl loop keeps the sketch distributed; see SketchRef). Inputs to the
+    log-depth tree are already-built bit arrays, never row data.
 
-    Stage 1 (Arrow, vectorized): mapInPandas builds ONE partial BucketedBloom
-    per Spark partition and emits its buckets as (bucket, bits) rows.
-    Stage 2 (RDD, tiny): treeAggregate OR-merges the partials in a log-depth
-    tree — the mandated seam (BASELINE.json:6); inputs are bit arrays, never
-    row data.
-    """
+    Routing here is BucketedBloom's own (pmod(url_hash, n_buckets)) — the
+    driver-side object is self-contained and used only at small scale."""
     n_bits, n_hashes = _params or optimal_params(max(1, capacity_per_bucket), fpp)
 
     out_schema = T.StructType(
@@ -142,11 +420,6 @@ def build_bloom(
     )
 
     def partials(batches):
-        # the input is hash-partitioned by bucket, so this partition sees a
-        # small, fixed set of buckets — build ONLY those filters. Total
-        # partial-sketch volume is therefore n_buckets × bucket_bits,
-        # INDEPENDENT of parallelism (at 10^10 keys this is what keeps the
-        # merge from moving hundreds of GB).
         local: dict[int, Bloom] = {}
         for pdf in batches:
             if not len(pdf):
@@ -184,55 +457,3 @@ def build_bloom(
 
     zero = BucketedBloom(n_buckets, n_bits, n_hashes)
     return partial_rows.rdd.treeAggregate(zero, seq_op, comb_op, depth=depth)
-
-
-def build_bloom_like(df: DataFrame, proto: BucketedBloom, depth: int = 2) -> BucketedBloom:
-    """A4 variant: build a partial sketch with the SAME parameters as an
-    existing one (so it can be OR-merged into it) from df.url_hash."""
-    out = build_bloom(
-        df,
-        n_buckets=proto.n_buckets,
-        capacity_per_bucket=1,
-        depth=depth,
-        _params=(proto.n_bits, proto.n_hashes),
-    )
-    return out
-
-
-def bloom_maybe_seen_udf(spark, bloom: BucketedBloom):
-    """J2: broadcast the merged sketch; vectorized membership pandas UDF.
-
-    Returns a Column factory: col(url_hash) → boolean "maybe seen".
-    False ⇒ DEFINITELY unseen (bloom has no false negatives).
-    """
-    bc = spark.sparkContext.broadcast(list(bloom.bucket_rows()))
-    holder: list[BucketedBloom] = []  # rebuild once per python worker, not per batch
-
-    @F.pandas_udf(T.BooleanType())
-    def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        if not holder:
-            holder.append(BucketedBloom.from_bucket_rows(bc.value))
-        return pd.Series(holder[0].contains(url_hash.to_numpy()))
-
-    return maybe_seen
-
-
-def dedup_against_seen(
-    spark,
-    frontier: DataFrame,
-    seen: DataFrame,
-    bloom: BucketedBloom | None = None,
-) -> DataFrame:
-    """J2+J1 composed: bloom pre-filter (if available) then exact residual.
-
-    definite-new (bloom says unseen) ∪ (maybe-seen ∖ seen) — correct because
-    bloom false negatives are impossible; false positives just take the
-    exact path.
-    """
-    if bloom is None:
-        return anti_join_seen(frontier, seen)
-    maybe_seen = bloom_maybe_seen_udf(spark, bloom)
-    flagged = frontier.withColumn("_maybe", maybe_seen(F.col("url_hash")))
-    definite_new = flagged.filter(~F.col("_maybe")).drop("_maybe")
-    residual = anti_join_seen(flagged.filter(F.col("_maybe")).drop("_maybe"), seen)
-    return definite_new.unionByName(residual)

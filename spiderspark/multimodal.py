@@ -45,21 +45,49 @@ def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
 
 
 def decode_image_batch(blobs: pd.Series, decoder: str = "fake") -> pd.DataFrame:
-    """Batch decode → metadata DataFrame. decoder='real' is the seam where
-    PIL/libjpeg would plug in; unavailable in this container."""
+    """Batch decode → metadata DataFrame, vectorized: the 9-byte headers of
+    the whole batch are gathered into ONE (n, 9) uint8 matrix and all field
+    extraction (magic check, little-endian u16 width/height, u8 channels)
+    runs as numpy column ops — no per-row struct.unpack, no per-row tuples.
+    decoder='real' is the seam where PIL/libjpeg would plug in; unavailable
+    in this container."""
     if decoder != "fake":
         raise NotImplementedError(
             "real image decoding requires PIL/libjpeg — not in this container; "
             "use decoder='fake' (pinned synthetic format)"
         )
-    metas = []
-    for b in blobs:
-        if b is None or len(b) < 9 or bytes(b[:4]) != _MAGIC:
-            metas.append((0, 0, 0, 0 if b is None else len(b), False))
-            continue
-        w, h, c = _HEADER.unpack(bytes(b[4:9]))
-        metas.append((w, h, c, len(b), True))
-    return pd.DataFrame(metas, columns=["width", "height", "channels", "n_bytes", "valid"])
+    n = len(blobs)
+    lens = np.fromiter(
+        (0 if b is None else len(b) for b in blobs), dtype=np.int64, count=n
+    )
+    cand = lens >= 9
+    width = np.zeros(n, dtype=np.int32)
+    height = np.zeros(n, dtype=np.int32)
+    channels = np.zeros(n, dtype=np.int32)
+    valid = np.zeros(n, dtype=bool)
+    if cand.any():
+        hdr = np.frombuffer(
+            b"".join(bytes(b[:9]) for b, c in zip(blobs, cand) if c),
+            dtype=np.uint8,
+        ).reshape(-1, 9)
+        magic = np.frombuffer(_MAGIC, dtype=np.uint8)
+        ok = (hdr[:, :4] == magic).all(axis=1)
+        w = hdr[:, 4].astype(np.int32) | (hdr[:, 5].astype(np.int32) << 8)
+        h = hdr[:, 6].astype(np.int32) | (hdr[:, 7].astype(np.int32) << 8)
+        c = hdr[:, 8].astype(np.int32)
+        valid[cand] = ok
+        width[cand] = np.where(ok, w, 0)
+        height[cand] = np.where(ok, h, 0)
+        channels[cand] = np.where(ok, c, 0)
+    return pd.DataFrame(
+        {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "n_bytes": lens,
+            "valid": valid,
+        }
+    )
 
 
 @F.pandas_udf(IMAGE_META)
@@ -79,24 +107,36 @@ def mean_pixel_features(df: DataFrame, blob_col: str = "img") -> DataFrame:
 
     def extract(batches):
         for pdf in batches:
-            feats = []
-            for b in pdf[blob_col]:
-                if b is None or len(b) < 9 or bytes(b[:4]) != _MAGIC:
-                    feats.append([0.0, 0.0, 0.0, 0.0])
-                    continue
-                arr = np.frombuffer(bytes(b[9:]), dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append([0.0, 0.0, 0.0, 0.0])
-                    continue
-                feats.append(
-                    [
-                        float(arr.mean()),
-                        float(arr.std()),
-                        float(arr.min()),
-                        float(arr.max()),
-                    ]
+            blobs = pdf[blob_col]
+            meta = decode_image_batch(blobs)
+            has_payload = meta["valid"].to_numpy() & (
+                meta["n_bytes"].to_numpy() > 9
+            )
+            n = len(pdf)
+            feats = np.zeros((n, 4), dtype=np.float64)
+            if has_payload.any():
+                # one concatenated payload buffer + reduceat segment stats —
+                # vectorized over the whole batch, no per-row numpy calls
+                payloads = [
+                    bytes(b[9:]) for b, keep in zip(blobs, has_payload) if keep
+                ]
+                sizes = np.fromiter(map(len, payloads), dtype=np.int64)
+                buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                starts = np.zeros(len(sizes), dtype=np.int64)
+                np.cumsum(sizes[:-1], out=starts[1:])
+                f = buf.astype(np.float64)
+                s1 = np.add.reduceat(f, starts)
+                s2 = np.add.reduceat(f * f, starts)
+                mean = s1 / sizes
+                var = np.maximum(s2 / sizes - mean * mean, 0.0)
+                mn = np.minimum.reduceat(buf, starts).astype(np.float64)
+                mx = np.maximum.reduceat(buf, starts).astype(np.float64)
+                feats[has_payload] = np.column_stack(
+                    [mean, np.sqrt(var), mn, mx]
                 )
-            yield pd.DataFrame({"item_id": pdf["item_id"], "feat": feats})
+            yield pd.DataFrame(
+                {"item_id": pdf["item_id"], "feat": list(feats)}
+            )
 
     return df.mapInPandas(extract, schema=out_schema)
 
@@ -134,4 +174,19 @@ def image_meta(spark, sf_dir):
     media = synthetic_media_df(spark, 64)
     return media.select("item_id", image_meta_udf("img").alias("m")).select(
         "item_id", "m.width", "m.height", "m.channels", "m.n_bytes", "m.valid"
+    )
+
+
+@q("image_features")  # rows-only: float features of engine-generated media
+def image_features(spark, sf_dir):
+    """Feature-extraction plumbing as a first-class contract query: binary →
+    fixed-width vector, batch-vectorized (the embedding-model batch shape)."""
+    media = synthetic_media_df(spark, 64)
+    feats = mean_pixel_features(media)
+    return feats.select(
+        "item_id",
+        F.round(F.element_at("feat", 1), 4).alias("f_mean"),
+        F.round(F.element_at("feat", 2), 4).alias("f_std"),
+        F.round(F.element_at("feat", 3), 4).alias("f_min"),
+        F.round(F.element_at("feat", 4), 4).alias("f_max"),
     )

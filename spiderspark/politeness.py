@@ -121,6 +121,19 @@ def robots_gate(candidates: DataFrame) -> DataFrame:
     )
 
 
+def insertion_gate(frontier: DataFrame, host_state: DataFrame) -> DataFrame:
+    """J9 at frontier-INSERTION time: drop robots-disallowed rows before
+    they enter frontier state. Robots is static per crawl, so a disallowed
+    URL can never be scheduled — keeping it would leak state (it would be
+    re-bloom-filtered, re-anti-joined and re-gated every round, forever).
+    Broadcast join on the small host dimension; preserves the input's
+    partitioning and order (map-only)."""
+    cols = frontier.columns
+    hs = host_state.select("host", "robots_rules")
+    joined = frontier.join(F.broadcast(hs), "host", "left")
+    return robots_gate(joined).select(*cols)
+
+
 def update_host_state(
     host_state: DataFrame,
     scheduled_counts: DataFrame,  # (host, scheduled:long)

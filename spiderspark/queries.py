@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: GROUPED_AGG type-hint resolution needs it
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .session import load_table
@@ -315,24 +317,20 @@ def cube_metrics(spark, sf_dir):
     "FROM events GROUP BY event_type",
 )
 def udaf_p95(spark, sf_dir):
-    # A6/F3: grouped-map pandas UDAF surface (Arrow applyInPandas) —
+    # A6/F4: TRUE grouped-aggregate pandas UDF (GROUPED_AGG eval type —
+    # one Arrow-batched scalar per group, usable in .agg and over windows) —
     # np.percentile 'linear' interpolation ≡ SQL quantile_cont
     import numpy as np
-    import pandas as pd
 
-    def p95(pdf: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [pdf["event_type"].iloc[0]],
-                "p95": [round(float(np.percentile(pdf["value"].to_numpy(), 95)), 4)],
-            }
-        )
+    @F.pandas_udf("double")
+    def p95(values: pd.Series) -> float:
+        return round(float(np.percentile(values.to_numpy(), 95)), 4)
 
     return (
         _t(spark, sf_dir, "events")
         .select("event_type", "value")
         .groupBy("event_type")
-        .applyInPandas(p95, schema="event_type string, p95 double")
+        .agg(p95(F.col("value")).alias("p95"))
     )
 
 

@@ -90,7 +90,11 @@ def per_host_topk(
     )
 
 
-def global_rank(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+def global_rank(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    persist_registry: list | None = None,
+) -> DataFrame:
     """O1: total order + a global ``rank`` column WITHOUT a single-partition
     window. Range-partition on the order key, rank within each partition,
     then add broadcast per-partition offsets — the scalable global-sort-rank
@@ -105,6 +109,8 @@ def global_rank(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
         # whole upstream scheduling DAG (schedule is budget-bounded small)
         .persist()
     )
+    if persist_registry is not None:
+        persist_registry.append(sdf)
 
     w = Window.partitionBy("_pid").orderBy(*order_cols())
     ranked = sdf.withColumn("_local", F.row_number().over(w))
@@ -126,16 +132,23 @@ def global_rank(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     )
 
 
-def to_schedule(selected: DataFrame, batch_id: int) -> DataFrame:
+def to_schedule(selected: DataFrame, batch_id: int, materialize=None) -> DataFrame:
     """Project the per-host-top-k output into the SCHEDULE shape with the
-    global deterministic rank."""
+    global deterministic rank.
+
+    ``materialize``: optional eager materializer (e.g. localCheckpoint);
+    when given, the rank intermediate's persist is dropped as soon as the
+    schedule is materialized — the crawl loop passes one so cached blocks
+    don't accumulate across rounds."""
+    registry: list = []
     ranked = global_rank(
         selected.select(
             "url", "url_norm", "url_hash", "host", "priority", "depth",
             "discovered_batch", "attempt",
-        )
+        ),
+        persist_registry=registry,
     )
-    return ranked.select(
+    out = ranked.select(
         F.lit(batch_id).cast("long").alias("batch_id"),
         F.col("rank"),
         "url", "url_norm", "url_hash", "host",
@@ -143,3 +156,8 @@ def to_schedule(selected: DataFrame, batch_id: int) -> DataFrame:
         F.col("depth").cast("int"),
         F.col("attempt").cast("int"),
     )
+    if materialize is not None:
+        out = materialize(out)
+        for h in registry:
+            h.unpersist()
+    return out

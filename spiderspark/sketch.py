@@ -118,6 +118,138 @@ class Bloom:
         return float(np.unpackbits(self.words.view(np.uint8)).mean())
 
 
+class CuckooFilter:
+    """Partial-key cuckoo filter over int64 keys (Fan et al., CoNEXT 2014 —
+    public construction): b buckets × 4 slots of 16-bit fingerprints;
+    candidate buckets i1 = hash(key), i2 = i1 ^ hash(fingerprint).
+
+    Role in the engine (BASELINE.json names "Bloom/cuckoo"): the cuckoo
+    tier SUPPORTS DELETION and ~same space at 3% fpp, but an insert can
+    FAIL under load (eviction loop exhausted) — a failed insert that is
+    ignored would be a FALSE NEGATIVE, which re-crawls a URL forever. The
+    crawl loop therefore defaults to Bloom (unconditionally zero false
+    negatives); CuckooFilter is provided behind the same bytes-roundtrip
+    seam for deployments that need removals (e.g. re-crawl-after-TTL), with
+    ``add`` RAISING on overflow so the caller resizes instead of silently
+    dropping keys. Lookup and bulk-add bucket math are numpy-vectorized;
+    the eviction walk is per-colliding-key by nature of the algorithm.
+    """
+
+    __slots__ = ("n_buckets", "slots", "max_kicks")
+
+    SLOTS_PER_BUCKET = 4
+
+    def __init__(self, n_buckets: int, max_kicks: int = 500):
+        # power-of-two buckets so i2 = i1 ^ fp_hash stays in range
+        assert n_buckets > 0 and (n_buckets & (n_buckets - 1)) == 0
+        self.n_buckets = n_buckets
+        self.slots = np.zeros((n_buckets, self.SLOTS_PER_BUCKET), dtype=np.uint16)
+        self.max_kicks = max_kicks
+
+    @classmethod
+    def for_capacity(cls, n_items: int) -> "CuckooFilter":
+        # 95% load is the published safe bound for 4-slot buckets; headroom
+        target = max(8, int(n_items / (cls.SLOTS_PER_BUCKET * 0.84)))
+        return cls(1 << (target - 1).bit_length())
+
+    def _fp_and_buckets(self, keys) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        u = _as_u64(keys)
+        h = _mix(u)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = ((h >> np.uint64(16)) & mask).astype(np.int64)
+        alt = _mix(fp.astype(np.uint64)) & mask
+        i2 = (i1 ^ alt.astype(np.int64)) & int(mask)
+        return fp, i1, i2
+
+    def _alt_bucket(self, fp: int, i: int) -> int:
+        alt = int(_mix(np.uint64(fp)) & np.uint64(self.n_buckets - 1))
+        return (i ^ alt) & (self.n_buckets - 1)
+
+    def add(self, keys) -> "CuckooFilter":
+        with np.errstate(over="ignore"):  # uint64 wraparound is the intent
+            return self._add(keys)
+
+    def _add(self, keys) -> "CuckooFilter":
+        fp, i1, i2 = self._fp_and_buckets(keys)
+        rng_state = np.uint64(0x9E3779B97F4A7C15)
+        for j in range(len(fp)):
+            f, a, b = int(fp[j]), int(i1[j]), int(i2[j])
+            # already present (either candidate bucket) → idempotent
+            if (self.slots[a] == f).any() or (self.slots[b] == f).any():
+                continue
+            placed = False
+            for bucket in (a, b):
+                empty = np.nonzero(self.slots[bucket] == 0)[0]
+                if len(empty):
+                    self.slots[bucket, empty[0]] = f
+                    placed = True
+                    break
+            if placed:
+                continue
+            # eviction walk (deterministic slot choice: splitmix stream)
+            cur, cur_fp = a, f
+            for kick in range(self.max_kicks):
+                rng_state = _mix(rng_state + _GOLDEN)
+                slot = int(rng_state & np.uint64(self.SLOTS_PER_BUCKET - 1))
+                cur_fp, self.slots[cur, slot] = (
+                    int(self.slots[cur, slot]),
+                    cur_fp,
+                )
+                cur = self._alt_bucket(cur_fp, cur)
+                empty = np.nonzero(self.slots[cur] == 0)[0]
+                if len(empty):
+                    self.slots[cur, empty[0]] = cur_fp
+                    break
+            else:
+                raise OverflowError(
+                    "cuckoo filter full — resize before adding (a silent "
+                    "drop would be a false negative, which the URL-seen "
+                    "contract forbids)"
+                )
+        return self
+
+    def contains(self, keys) -> np.ndarray:
+        """Vectorized: both candidate buckets of every key checked at once."""
+        fp, i1, i2 = self._fp_and_buckets(keys)
+        in1 = (self.slots[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.slots[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, keys) -> np.ndarray:
+        """Remove one fingerprint copy per present key; returns per-key
+        'was present' bools (the capability Bloom lacks)."""
+        fp, i1, i2 = self._fp_and_buckets(keys)
+        out = np.zeros(len(fp), dtype=bool)
+        for j in range(len(fp)):
+            f = int(fp[j])
+            for bucket in (int(i1[j]), int(i2[j])):
+                hit = np.nonzero(self.slots[bucket] == f)[0]
+                if len(hit):
+                    self.slots[bucket, hit[0]] = 0
+                    out[j] = True
+                    break
+        return out
+
+    def to_bytes(self) -> bytes:
+        return self.slots.tobytes()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes, n_buckets: int) -> "CuckooFilter":
+        out = cls(n_buckets)
+        out.slots = (
+            np.frombuffer(raw, dtype=np.uint16)
+            .reshape(n_buckets, cls.SLOTS_PER_BUCKET)
+            .copy()
+        )
+        return out
+
+    @property
+    def load_factor(self) -> float:
+        return float((self.slots != 0).mean())
+
+
 class BucketedBloom:
     """n_buckets independent Blooms; key routing = key mod n_buckets.
 

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 class SnapshotStore(ABC):
     @abstractmethod
     def commit(
-        self, tables: dict[str, DataFrame], batch_id: int, parent_id: int | None
+        self,
+        tables: dict[str, DataFrame],
+        batch_id: int,
+        parent_id: int | None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> int: ...
 
     @abstractmethod
@@ -55,10 +59,27 @@ class ParquetManifestStore(SnapshotStore):
     def _manifest_path(self, snapshot_id: int) -> str:
         return os.path.join(self.root, "manifests", f"{snapshot_id:012d}.json")
 
+    def _next_id(self) -> int:
+        """Ids allocate from max(existing)+1, not parent+1: two commits that
+        share a parent must NOT collide on the same id (the second would
+        silently clobber the first's manifest and break time travel)."""
+        mdir = os.path.join(self.root, "manifests")
+        ids = [
+            int(f[:-5])
+            for f in os.listdir(mdir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return (max(ids) + 1) if ids else 1
+
     def commit(
-        self, tables: dict[str, DataFrame], batch_id: int, parent_id: int | None
+        self,
+        tables: dict[str, DataFrame],
+        batch_id: int,
+        parent_id: int | None,
+        partition_by: dict[str, list[str]] | None = None,
     ) -> int:
-        snapshot_id = (parent_id or 0) + 1
+        snapshot_id = max(self._next_id(), (parent_id or 0) + 1)
+        partition_by = partition_by or {}
         entry: dict = {
             "snapshot_id": snapshot_id,
             "parent_id": parent_id,
@@ -70,7 +91,10 @@ class ParquetManifestStore(SnapshotStore):
         for name, df in tables.items():
             rel = f"data/{name}/snap{snapshot_id:012d}-{uuid.uuid4().hex[:8]}"
             path = os.path.join(self.root, rel)
-            df.write.mode("errorifexists").parquet(path)
+            writer = df.write.mode("errorifexists")
+            if name in partition_by:
+                writer = writer.partitionBy(*partition_by[name])
+            writer.parquet(path)
             # per-partition lineage read back from the files just written —
             # records exactly what was committed (BASELINE.json:14)
             spark = df.sparkSession
@@ -87,22 +111,29 @@ class ParquetManifestStore(SnapshotStore):
             }
             entry["lineage"][name] = lineage
 
-        # atomic commit: write tmp manifest then rename; HEAD last
+        # atomic commit: write tmp manifest then hardlink into place — the
+        # link fails (EEXIST) instead of clobbering if the id was raced
         mpath = self._manifest_path(snapshot_id)
         tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        os.rename(tmp, mpath)
+        os.link(tmp, mpath)
+        os.unlink(tmp)
         head_tmp = os.path.join(self.root, f"HEAD.tmp-{uuid.uuid4().hex[:8]}")
         with open(head_tmp, "w") as f:
             f.write(str(snapshot_id))
         os.rename(head_tmp, os.path.join(self.root, "HEAD"))
         return snapshot_id
 
-    def read(self, spark: SparkSession, snapshot_id: int, table: str) -> DataFrame:
+    def table_path(self, snapshot_id: int, table: str) -> str:
+        """Filesystem path of a committed table — the seam that lets the
+        distributed sketch side-read its bucket slices straight from the
+        store after resume (no driver rebuild)."""
         m = self.manifest(snapshot_id)
-        rel = m["tables"][table]["path"]
-        return spark.read.parquet(os.path.join(self.root, rel))
+        return os.path.join(self.root, m["tables"][table]["path"])
+
+    def read(self, spark: SparkSession, snapshot_id: int, table: str) -> DataFrame:
+        return spark.read.parquet(self.table_path(snapshot_id, table))
 
     def head(self) -> int | None:
         p = os.path.join(self.root, "HEAD")
@@ -150,7 +181,7 @@ class IcebergStore(SnapshotStore):
                 "Iceberg runtime not available; use ParquetManifestStore"
             ) from exc
 
-    def commit(self, tables, batch_id, parent_id):  # pragma: no cover
+    def commit(self, tables, batch_id, parent_id, partition_by=None):  # pragma: no cover
         for name, df in tables.items():
             full = f"{self.prefix}.{name}"
             df.writeTo(full).createOrReplace()

@@ -1,0 +1,175 @@
+"""Keyed, segmented state tables — the layout that makes repeat crawl rounds
+shuffle-free (SURVEY.md §3.1; BASELINE.json:6 "checkpointed frontier state
+... with per-partition lineage").
+
+The scale problem this module solves: the frontier and URL-seen tables are
+the 10^10-row state of the crawl loop. A naive loop re-shuffles both every
+round (groupBy-dedup exchange + join exchange) — at 100 TB that is terabytes
+of network per round and it is the non-scaling term between N and 4N
+executors. The fix is a layout contract:
+
+- Every state table is hash-partitioned by ``url_hash`` into a FIXED number
+  of partitions (``n_parts``, stable across rounds) and sorted by
+  ``url_hash`` within partitions.
+- ``materialize_keyed`` pins that layout through a ``localCheckpoint`` so
+  Catalyst still *knows* it next round (LogicalRDD keeps outputPartitioning
+  and outputOrdering). AQE is toggled off just for the checkpoint query:
+  under AQE the checkpoint captures an AdaptiveSparkPlan whose partitioning
+  is not yet final, and the layout knowledge is lost (verified empirically
+  on this Spark build — see docs/PLANS.md "State layout").
+- With two sides in that layout, sort-merge join / left-anti / groupBy on
+  ``url_hash`` plan with ZERO exchanges and ZERO sorts: per-round state
+  maintenance touches the big tables only through co-partitioned,
+  partition-local operators; network traffic is O(delta), not O(state).
+
+Mutations arrive as small per-round deltas. Rewriting the big table to merge
+a delta would itself be a full shuffle, so tables are SEGMENTED (the LSM
+idea re-expressed in DataFrames): a list of disjoint-keyed segments, each in
+the layout above. Deltas become new small segments; probes chain across
+segments (each probe co-partitioned, zero-exchange on the big side);
+``compact`` folds the list back to one segment — the only full-state
+exchange, amortized over ``max_segments`` rounds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def materialize_keyed(
+    df: DataFrame,
+    n_parts: int | None = None,
+    key: str = "url_hash",
+    repartition: bool = True,
+) -> DataFrame:
+    """Eagerly materialize ``df`` in the keyed layout, keeping the layout
+    visible to the planner.
+
+    ``repartition=False`` is for plans whose output is ALREADY in the layout
+    (e.g. a co-partitioned SMJ or a broadcast-anti over a stored segment):
+    the checkpoint then writes partition-local blocks with no exchange at
+    all — the repeat-round fast path.
+    """
+    spark = df.sparkSession
+    if repartition:
+        assert n_parts is not None
+        df = df.repartition(n_parts, key).sortWithinPartitions(key)
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@dataclass(frozen=True)
+class SegmentedTable:
+    """An immutable list of key-disjoint DataFrame segments, all in the
+    ``materialize_keyed`` layout with the same ``n_parts``."""
+
+    segments: tuple[DataFrame, ...]
+    n_parts: int
+    key: str = "url_hash"
+
+    @classmethod
+    def empty(cls, n_parts: int, key: str = "url_hash") -> "SegmentedTable":
+        return cls(segments=(), n_parts=n_parts, key=key)
+
+    @classmethod
+    def from_df(
+        cls, df: DataFrame, n_parts: int, key: str = "url_hash"
+    ) -> "SegmentedTable":
+        return cls((materialize_keyed(df, n_parts, key),), n_parts, key)
+
+    def df(self, spark: SparkSession, schema) -> DataFrame:
+        """The whole table as one DataFrame (commit/read paths; loses the
+        layout — never feed this back into the loop's keyed operators)."""
+        if not self.segments:
+            return spark.createDataFrame([], schema)
+        out = self.segments[0]
+        for seg in self.segments[1:]:
+            out = out.unionByName(seg)
+        return out
+
+    def total_rows(self) -> int:
+        # segments are checkpointed — counting is a cheap metadata-ish scan
+        return sum(seg.count() for seg in self.segments)
+
+    def anti_probe(self, small: DataFrame) -> DataFrame:
+        """``small`` minus rows whose key appears in ANY segment.
+
+        ``small`` must already be hash-partitioned by the key at ``n_parts``
+        (left-anti preserves the left layout, so the chain stays
+        co-partitioned; each big segment is probed with zero exchange and
+        zero sort on its side)."""
+        for seg in self.segments:
+            small = small.join(seg.select(self.key), self.key, "left_anti")
+        return small
+
+    def append(self, seg: DataFrame) -> "SegmentedTable":
+        """Add an already-materialized, key-disjoint segment."""
+        return SegmentedTable(self.segments + (seg,), self.n_parts, self.key)
+
+    def maybe_compact(self, max_segments: int) -> "SegmentedTable":
+        """Fold back to one segment when the list grows past
+        ``max_segments`` — the amortized full-state exchange."""
+        if len(self.segments) <= max_segments:
+            return self
+        merged = self.segments[0]
+        for seg in self.segments[1:]:
+            merged = merged.unionByName(seg)
+        seg = materialize_keyed(merged, self.n_parts, self.key)
+        return SegmentedTable((seg,), self.n_parts, self.key)
+
+
+def ord_struct(prefix: str = "") -> F.Column:
+    """The engine's within-batch dedup total order (mirrors
+    tests/oracle_crawler.Item.dedup_key): min over
+    (priority, depth, discovered_batch, url, attempt)."""
+    cols = ("priority", "depth", "discovered_batch", "url", "attempt")
+    return F.struct(*[F.col(prefix + c) for c in cols])
+
+
+def resolve_frontier_delta(
+    table: SegmentedTable, delta: DataFrame
+) -> tuple[list[DataFrame], DataFrame]:
+    """Min-struct resolve of a (deduped, keyed-layout) delta against all
+    frontier segments — the distributed form of
+    ``dedup_within_batch(frontier ∪ delta)`` given the invariant that the
+    segments are already internally deduped and mutually key-disjoint.
+
+    Returns ``(updated_segment_plans, delta_winners_plan)``; every returned
+    plan PRESERVES the keyed layout (left joins keep the left side's
+    partitioning; both join sides are co-partitioned, so the big segments
+    are never exchanged). Ties keep the incumbent segment row (a strict
+    tie is impossible for distinct rows: ``url`` + ``attempt`` total-order
+    the struct).
+    """
+    d_keys = delta.select(
+        F.col(table.key), ord_struct().alias("_ord_d")
+    )
+    updated = []
+    for seg in table.segments:
+        updated.append(
+            seg.withColumn("_ord", ord_struct())
+            .join(d_keys, table.key, "left")
+            .filter(F.col("_ord_d").isNull() | (F.col("_ord") <= F.col("_ord_d")))
+            .drop("_ord", "_ord_d")
+        )
+    winners = delta.withColumn("_ord_d", ord_struct())
+    flags = []
+    for i, seg in enumerate(table.segments):
+        s = seg.select(F.col(table.key), ord_struct().alias(f"_ord_s{i}"))
+        winners = winners.join(s, table.key, "left")
+        flags.append(
+            F.col(f"_ord_s{i}").isNull() | (F.col("_ord_d") < F.col(f"_ord_s{i}"))
+        )
+    cond = F.lit(True)
+    for f in flags:
+        cond = cond & f
+    winners = winners.filter(cond).drop(
+        "_ord_d", *[f"_ord_s{i}" for i in range(len(table.segments))]
+    )
+    return updated, winners

@@ -121,9 +121,19 @@ class OracleCrawler:
                 it
                 for u, p in seeds
                 if (it := _make_item(u, p, 0, 0)) is not None
+                and self._insertion_allowed(it)
             ]
         )
         self.texts: dict[str, str] = {}  # url_norm -> extracted text
+
+    def _insertion_allowed(self, it: Item) -> bool:
+        """Mirror of politeness.insertion_gate: robots-disallowed URLs are
+        dropped at frontier-insertion time (robots is static per crawl, so
+        they could never be scheduled — keeping them would leak state)."""
+        hs = self.hosts.get(it.host)
+        if hs is None:
+            return True
+        return robots_allowed(_path_of(it.url_norm), hs.rules)
 
     def _host_view(self, host: str) -> HostState:
         """Read-only view: unknown hosts get the default policy but are NOT
@@ -189,7 +199,7 @@ class OracleCrawler:
             if it.depth < cfg.max_depth:
                 for link in extract_outlinks(html, it.url):
                     child = _make_item(link, it.priority, it.depth + 1, self.batch_id)
-                    if child is not None:
+                    if child is not None and self._insertion_allowed(child):
                         discovered.append(child)
 
         # state update — mirrors crawl.crawl_round steps 8-10 exactly

@@ -31,7 +31,7 @@ def _spark_run(spark, use_bloom=True, rounds=ROUNDS):
     config = CrawlConfig(
         policy=HostPolicy(default_budget=BUDGET, round_seconds=60.0),
         use_bloom=use_bloom,
-        bloom_buckets=4,
+        state_buckets=4,
         bloom_capacity_per_bucket=4096,
     )
     state, schedules, logs = crawl(
@@ -40,7 +40,10 @@ def _spark_run(spark, use_bloom=True, rounds=ROUNDS):
     ordered = [
         [r["url_hash"] for r in s.orderBy("rank").collect()] for s in schedules
     ]
-    seen = sorted(r["url_hash"] for r in state.seen.collect())
+    from spiderspark.schemas import SEEN
+    seen = sorted(
+        r["url_hash"] for r in state.seen.df(spark, SEEN).collect()
+    )
     return ordered, seen, state, schedules, logs
 
 

@@ -50,7 +50,10 @@ def test_spark_matches_golden_fixture(spark):
 
     import hashlib
 
-    seen = sorted(r["url_hash"] for r in state.seen.collect())
+    from spiderspark.schemas import SEEN
+    seen = sorted(
+        r["url_hash"] for r in state.seen.df(spark, SEEN).collect()
+    )
     digest = hashlib.sha256(",".join(str(h) for h in seen).encode()).hexdigest()
     assert digest == golden["seen_digest"]
 

@@ -3,6 +3,7 @@ associative/commutative merge (treeAggregate order-safety), bounded fpp,
 round-trip serialization."""
 
 import numpy as np
+import pytest
 
 from spiderspark.sketch import Bloom, BucketedBloom, optimal_params
 
@@ -70,3 +71,63 @@ def test_bucket_rows_roundtrip():
 def test_empty_bloom_contains_nothing_much():
     b = Bloom.for_capacity(1000)
     assert not b.contains(_keys(1000)).any()
+
+
+# -- cuckoo tier (BASELINE names "Bloom/cuckoo"; bloom is the in-loop default
+# because a cuckoo insert can fail under load — see sketch.CuckooFilter) -----
+
+
+def test_cuckoo_no_false_negatives_under_load():
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(5)
+    keys = np.unique(rng.randint(-(2**62), 2**62, size=40_000))
+    cf = CuckooFilter.for_capacity(len(keys)).add(keys)
+    assert cf.contains(keys).all()
+    assert 0.3 < cf.load_factor < 0.96
+
+
+def test_cuckoo_fpp_reasonable():
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(6)
+    keys = rng.randint(-(2**62), 2**62, size=20_000)
+    cf = CuckooFilter.for_capacity(30_000).add(keys)
+    fresh = rng.randint(-(2**62), 2**62, size=50_000)
+    fpp = cf.contains(fresh).mean()
+    assert fpp < 0.02  # 16-bit fingerprints, 2 buckets × 4 slots ⇒ ~8/2^16
+
+
+def test_cuckoo_delete_restores_absence():
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(7)
+    keys = np.unique(rng.randint(-(2**62), 2**62, size=5_000))
+    cf = CuckooFilter.for_capacity(10_000).add(keys)
+    victims = keys[:1000]
+    assert cf.delete(victims).all()
+    # deleted keys may still collide with survivors' fingerprints (fp rate),
+    # but the overwhelming majority must now be absent
+    assert cf.contains(victims).mean() < 0.05
+    assert cf.contains(keys[1000:]).all()  # survivors untouched
+
+
+def test_cuckoo_overflow_raises_not_drops():
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(8)
+    cf = CuckooFilter(8)  # 32 slots total
+    keys = np.unique(rng.randint(-(2**62), 2**62, size=500))
+    with pytest.raises(OverflowError):
+        cf.add(keys)
+
+
+def test_cuckoo_bytes_roundtrip():
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(9)
+    keys = rng.randint(-(2**62), 2**62, size=3_000)
+    cf = CuckooFilter.for_capacity(5_000).add(keys)
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets)
+    assert (cf2.slots == cf.slots).all()
+    assert cf2.contains(keys).all()

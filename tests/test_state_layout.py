@@ -1,0 +1,202 @@
+"""Round-2 scale-layout invariants (SURVEY.md §2.4 A4/J2 + state layout):
+
+1. materialize_keyed pins partitioning+ordering: groupBy / SMJ / anti joins
+   over stored state plan with ZERO exchanges on the stored side — the
+   property that makes repeat crawl rounds O(delta) network instead of
+   O(state).
+2. The distributed sketch (bucket-partitioned parquet + partition-local
+   membership) is semantically a Bloom filter: no false negatives ever,
+   false-positive rate within spec, delta dirs OR-equivalent to their
+   compaction.
+3. No full-sketch broadcast and no driver-resident merged sketch exist in
+   the crawl path (regression guard for the round-1 scale-killer).
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spiderspark.frontier import (
+    SketchRef,
+    compact_sketch,
+    dedup_against_seen,
+    sketch_df,
+    sketch_flag_maybe_seen,
+    write_sketch_delta,
+)
+from spiderspark.state import SegmentedTable, materialize_keyed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_hash_exchanges(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning")
+
+
+@pytest.fixture()
+def keyed(spark):
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("url_hash"), (F.col("id") % 13).alias("v")
+    )
+    return materialize_keyed(df, n_parts=4)
+
+
+def test_materialize_keyed_groupby_no_exchange(spark, keyed):
+    g = keyed.groupBy("url_hash").agg(F.min("v").alias("m"))
+    assert _n_hash_exchanges(g) == 0, _plan(g)
+
+
+def test_materialize_keyed_smj_no_exchange_no_sort(spark):
+    a = materialize_keyed(
+        spark.range(0, 4000).select(F.col("id").alias("url_hash")), 4
+    )
+    b = materialize_keyed(
+        spark.range(2000, 6000).select(F.col("id").alias("url_hash")), 4
+    )
+    j = a.join(b, "url_hash", "left_anti")
+    plan = _plan(j)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert j.count() == 2000
+
+
+def test_segment_anti_probe_coparitioned(spark, keyed):
+    seen = SegmentedTable.from_df(
+        spark.range(0, 1000).select(
+            F.col("id").alias("url_hash"), F.lit(0).cast("long").alias("first_batch")
+        ),
+        n_parts=4,
+    )
+    out = seen.anti_probe(keyed)
+    assert _n_hash_exchanges(out) == 0, _plan(out)
+    assert out.count() == 4000
+
+
+def _mk_sketch(spark, tmp, keys, n_buckets=4, cap=4096):
+    ref = SketchRef.create(n_buckets, cap, 0.01)
+    keys_df = spark.createDataFrame(
+        [(int(k),) for k in keys], "url_hash long"
+    )
+    return write_sketch_delta(keys_df, os.path.join(tmp, "d0"), ref)
+
+
+def test_sketch_no_false_negatives(spark):
+    tmp = tempfile.mkdtemp(prefix="sketchtest-")
+    rng = np.random.RandomState(7)
+    keys = rng.randint(-(2**62), 2**62, size=20_000)
+    ref = _mk_sketch(spark, tmp, keys, n_buckets=4, cap=8192)
+    probe = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    flagged = sketch_flag_maybe_seen(probe, ref)
+    assert flagged.filter(~F.col("_maybe")).count() == 0  # zero false negatives
+
+
+def test_sketch_fpp_within_spec(spark):
+    tmp = tempfile.mkdtemp(prefix="sketchtest-")
+    rng = np.random.RandomState(11)
+    seen_keys = rng.randint(-(2**62), 2**62, size=8_000)
+    ref = _mk_sketch(spark, tmp, seen_keys, n_buckets=4, cap=4096)
+    fresh = rng.randint(-(2**62), 2**62, size=20_000)
+    probe = spark.createDataFrame([(int(k),) for k in fresh], "url_hash long")
+    fp = sketch_flag_maybe_seen(probe, ref).filter(F.col("_maybe")).count()
+    assert fp / 20_000 < 0.03  # 1% target + slack
+
+
+def test_sketch_delta_dirs_equal_compaction(spark):
+    tmp = tempfile.mkdtemp(prefix="sketchtest-")
+    rng = np.random.RandomState(3)
+    a = rng.randint(-(2**60), 2**60, size=3_000)
+    b = rng.randint(-(2**60), 2**60, size=3_000)
+    ref = SketchRef.create(4, 4096, 0.01)
+    ref = write_sketch_delta(
+        spark.createDataFrame([(int(k),) for k in a], "url_hash long"),
+        os.path.join(tmp, "d0"), ref,
+    )
+    ref = write_sketch_delta(
+        spark.createDataFrame([(int(k),) for k in b], "url_hash long"),
+        os.path.join(tmp, "d1"), ref,
+    )
+    assert len(ref.paths) == 2
+    compacted = compact_sketch(spark, ref, os.path.join(tmp, "base"))
+    assert len(compacted.paths) == 1
+    probe = spark.createDataFrame(
+        [(int(k),) for k in np.concatenate([a, b, rng.randint(0, 2**60, 5000)])],
+        "url_hash long",
+    )
+    before = sorted(
+        r["url_hash"]
+        for r in sketch_flag_maybe_seen(probe, ref).filter("_maybe").collect()
+    )
+    after = sorted(
+        r["url_hash"]
+        for r in sketch_flag_maybe_seen(probe, compacted).filter("_maybe").collect()
+    )
+    assert before == after  # compaction is a pure OR — bit-identical answers
+    # compacted rows: exactly one per populated bucket
+    rows = sketch_df(spark, compacted).groupBy("bucket").count().collect()
+    assert all(r["count"] == 1 for r in rows)
+
+
+def test_dedup_against_seen_equals_exact(spark):
+    """Sketch tier is an accelerator, not a semantic: candidates with the
+    sketch == candidates with exact-only dedup."""
+    tmp = tempfile.mkdtemp(prefix="sketchtest-")
+    frontier_rows = spark.range(0, 3000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+        F.concat(F.lit("u"), F.col("id")).alias("url_norm"),
+        F.col("id").alias("url_hash"),
+        F.lit("h").alias("host"),
+        F.lit(0).cast("int").alias("host_bucket"),
+        F.lit(0).cast("int").alias("salt"),
+        F.lit(0.0).alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(0).cast("long").alias("discovered_batch"),
+        F.lit(0).cast("int").alias("attempt"),
+    )
+    frontier = SegmentedTable.from_df(frontier_rows, n_parts=4)
+    seen_df = spark.range(1000, 1800).select(
+        F.col("id").alias("url_hash"), F.lit(0).cast("long").alias("first_batch")
+    )
+    seen = SegmentedTable.from_df(seen_df, n_parts=4)
+    ref = SketchRef.create(4, 4096, 0.01)
+    ref = write_sketch_delta(
+        seen.segments[0], os.path.join(tmp, "d0"), ref, assume_keyed_layout=True
+    )
+    with_sketch = sorted(
+        r["url_hash"]
+        for r in dedup_against_seen(spark, frontier, seen, ref).collect()
+    )
+    exact_only = sorted(
+        r["url_hash"]
+        for r in dedup_against_seen(spark, frontier, seen, None).collect()
+    )
+    assert with_sketch == exact_only == list(range(1000)) + list(range(1800, 3000))
+
+
+def test_no_full_sketch_broadcast_in_source():
+    """Regression guard: the crawl path must not broadcast sketch bits or
+    rebuild a merged BucketedBloom on the driver (round-1 scale-killer)."""
+    import inspect
+
+    import spiderspark.crawl as crawl
+    import spiderspark.frontier as frontier
+
+    src = inspect.getsource(crawl) + inspect.getsource(frontier)
+    assert "sparkContext.broadcast" not in src
+    assert "from_bucket_rows" not in src
+
+
+def test_snapshot_ids_never_clobber(spark):
+    """Two commits sharing a parent get DISTINCT ids (ADVICE round 1)."""
+    from spiderspark.snapshots import ParquetManifestStore
+
+    store = ParquetManifestStore(tempfile.mkdtemp(prefix="snapids-"))
+    s1 = store.commit({"t": spark.range(3)}, batch_id=1, parent_id=None)
+    s2 = store.commit({"t": spark.range(4)}, batch_id=2, parent_id=s1)
+    s3 = store.commit({"t": spark.range(5)}, batch_id=2, parent_id=s1)  # same parent
+    assert len({s1, s2, s3}) == 3
+    assert store.read(spark, s2, "t").count() == 4
+    assert store.read(spark, s3, "t").count() == 5
