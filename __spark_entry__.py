@@ -27,6 +27,7 @@ import spiderspark.textops  # noqa: F401,E402
 import spiderspark.dedup  # noqa: F401,E402
 import spiderspark.ann  # noqa: F401,E402
 import spiderspark.multimodal  # noqa: F401,E402
+import spiderspark.streaming  # noqa: F401,E402
 
 
 def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -3,8 +3,9 @@ evidence (BASELINE.json:2). The per-round shuffle bytes are the quantity the
 keyed state layout is designed to bound — O(delta), not O(state) — so the
 bench records them alongside wall time.
 
-Reads Spark's status store via the REST status API (local-mode UI) with a
-py4j fallback; returns None when neither is available (UI disabled)."""
+Reads Spark's status store via the REST status API (requires
+``spark.ui.enabled=true`` — the bench sessions set it); returns None when
+the UI is disabled."""
 
 from __future__ import annotations
 
@@ -17,36 +18,20 @@ def shuffle_totals(spark) -> dict | None:
     this application. Subtract two snapshots to get a window's volume."""
     sc = spark.sparkContext
     base = sc.uiWebUrl
-    if base:
-        try:
-            url = f"{base}/api/v1/applications/{sc.applicationId}/stages"
-            with urllib.request.urlopen(url, timeout=10) as resp:
-                stages = json.load(resp)
-            return {
-                "shuffle_write_bytes": sum(
-                    s.get("shuffleWriteBytes", 0) for s in stages
-                ),
-                "shuffle_read_bytes": sum(
-                    s.get("shuffleReadBytes", 0) for s in stages
-                ),
-                "n_stages": len(stages),
-            }
-        except Exception:
-            pass
-    try:  # fallback: AppStatusStore (private[spark] compiles public in bytecode)
-        store = sc._jsc.sc().statusStore()
-        it = store.stageList(None)
-        write = read = n = 0
-        sz = it.size()
-        for i in range(sz):
-            s = it.apply(i)
-            write += s.shuffleWriteBytes()
-            read += s.shuffleReadBytes()
-            n += 1
+    if not base:
+        return None
+    try:
+        url = f"{base}/api/v1/applications/{sc.applicationId}/stages"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = json.load(resp)
         return {
-            "shuffle_write_bytes": write,
-            "shuffle_read_bytes": read,
-            "n_stages": n,
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes", 0) for s in stages
+            ),
+            "shuffle_read_bytes": sum(
+                s.get("shuffleReadBytes", 0) for s in stages
+            ),
+            "n_stages": len(stages),
         }
     except Exception:
         return None

@@ -108,6 +108,65 @@ def streaming_token_bucket(
     )
 
 
+# -- driver-contract registration: a REAL streaming query, DuckDB-checked ----
+
+
+from .queries import q
+
+
+@q(
+    "stream_tumbling_counts",
+    "SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n, "
+    "round(sum(value), 4) AS total FROM events GROUP BY 1, 2",
+)
+def stream_tumbling_counts(spark, sf_dir):
+    """ST1 as an actual Structured Streaming query (not the batch
+    equivalent): readStream over the events parquet → tumbling event-time
+    window agg → availableNow trigger → memory sink. The bounded run is
+    exactly equivalent to the batch GROUP BY, so the same DuckDB oracle
+    checks a genuinely streaming execution."""
+    import os
+    import uuid
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the file streaming source wants a DIRECTORY; the testdata table is a
+    # single file, so stream a temp dir holding a symlink to it (testdata
+    # itself is read-only — never modified)
+    import tempfile
+
+    stream_dir = tempfile.mkdtemp(prefix="spiderstream-events-")
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("w_start"), "event_type", "n", "total"
+    )
+
+
 # -- ST6: snapshot-commit sink ------------------------------------------------
 
 
