@@ -61,7 +61,11 @@ def frontier_urls_dist(spark, n: int, num_partitions: int):
 
 
 def run_headline(
-    spark, n_frontier: int, use_bloom: bool = True, warmup: bool = True, repeats: int = 3
+    spark,
+    n_frontier: int,
+    use_bloom: bool = True,
+    warmup: bool = True,
+    repeats: int = int(os.environ.get("SPIDERSPARK_BENCH_REPEATS", "3")),
 ) -> dict:
     """Timed headline rounds; returns the FASTEST repeat (+ all walls).
 
@@ -244,6 +248,7 @@ def main(argv=None):
     ap.add_argument("--frontier", type=int, default=int(os.environ.get("SPIDERSPARK_BENCH_FRONTIER", "2000000")))
     ap.add_argument("--headline-only", action="store_true")
     ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/scaling_last_run.md")
+    ap.add_argument("--weak", action="store_true", help="with --scaling: weak-scaling variant (input scales with cores; per-core volume constant — the per-executor-resources-constant cluster proxy)")
     ap.add_argument("--crawl", action="store_true", help="run the end-to-end crawl-loop benchmark instead")
     args = ap.parse_args(argv)
 
@@ -320,14 +325,23 @@ def run_scaling(args):
     lo, hi = 8, 32
     passes = int(os.environ.get("SPIDERSPARK_SCALING_PASSES", "2"))
     crawl = bool(getattr(args, "crawl", False))
+    weak = bool(getattr(args, "weak", False))
+    # weak scaling: input ∝ cores, so per-core data volume (and per-core
+    # shuffle volume — the resource a real cluster scales with node count
+    # but a single box cannot) is held constant; ideal = equal wall time
+    n_lo = n * lo // hi if weak else n
     runs_lo, runs_hi = [], []
     for _ in range(passes):
-        runs_lo.append(_subprocess_rate(lo, n, crawl))
+        runs_lo.append(_subprocess_rate(lo, n_lo, crawl))
         runs_hi.append(_subprocess_rate(hi, n, crawl))
     r_lo = max(runs_lo, key=lambda r: r["value"])
     r_hi = max(runs_hi, key=lambda r: r["value"])
+    # rates normalize by input size, so the same formula covers both modes:
+    # strong = same input; weak = equal per-core rate ⇒ 1.0
     eff = (r_hi["value"] / r_lo["value"]) / (hi / lo)
-    if crawl:
+    if weak:
+        invariant = None  # different inputs per level — digests incomparable
+    elif crawl:
         invariant = (
             len({json.dumps([p["scheduled"] for p in r["detail"]["per_round"]])
                  for r in runs_lo + runs_hi}) == 1
@@ -337,7 +351,9 @@ def run_scaling(args):
         invariant = len(digests) == 1
     result = {
         "metric": (
-            "crawl_loop_scaling_efficiency_8_to_32_cores"
+            "weak_scaling_efficiency_8_to_32_cores"
+            if weak
+            else "crawl_loop_scaling_efficiency_8_to_32_cores"
             if crawl
             else "scaling_efficiency_8_to_32_cores"
         ),
@@ -351,7 +367,7 @@ def run_scaling(args):
         "schedule_parallelism_invariant": invariant,
     }
     print(json.dumps(result))
-    if not crawl:
+    if not crawl and not weak:
         _write_baseline_md(result, r_lo, r_hi)
     return result
 

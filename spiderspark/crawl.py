@@ -384,10 +384,20 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
     sketch = None
     if config.use_bloom and "seen_sketch" in m["tables"]:
         path = store.table_path(snapshot_id, "seen_sketch")
-        first = spark.read.parquet(path).select("n_bits", "n_hashes").head(1)
+        first = spark.read.parquet(path).select(
+            "n_bits", "n_hashes", "n_buckets"
+        ).head(1)
         if first:
+            stored_nb = int(first[0]["n_buckets"])
+            # bucket routing is pmod(hash(url_hash), n_buckets): resuming
+            # under a different bucket count would read the WRONG bits —
+            # silent false negatives. Fail loudly instead.
+            assert stored_nb == n, (
+                f"snapshot sketch has n_buckets={stored_nb} but "
+                f"config.state_buckets={n}; resume with the original value"
+            )
             sketch = SketchRef(
-                (path,), n, int(first[0]["n_bits"]), int(first[0]["n_hashes"])
+                (path,), stored_nb, int(first[0]["n_bits"]), int(first[0]["n_hashes"])
             )
         else:
             sketch = SketchRef.create(

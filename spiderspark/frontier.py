@@ -160,10 +160,14 @@ def sketch_bucket_col(n_buckets: int, key: str = "url_hash") -> Column:
     return F.pmod(F.hash(key), F.lit(n_buckets)).cast("int")
 
 
-_PARTIAL_SCHEMA = "bucket int, kind string, bits binary, n_bits long, n_hashes int"
+_PARTIAL_SCHEMA = (
+    "bucket int, kind string, bits binary, n_bits long, n_hashes int, "
+    "n_buckets int"
+)  # n_buckets rides every row: routing = pmod(hash(key), n_buckets), so a
+# resume under a DIFFERENT bucket count must fail loudly, not read wrong bits
 
 
-def _partials_fn(n_bits: int, n_hashes: int):
+def _partials_fn(n_bits: int, n_hashes: int, n_buckets: int):
     def partials(batches):
         # one partial Bloom per bucket present in THIS partition — with
         # bucket-aligned input each partition holds exactly one bucket, so
@@ -188,6 +192,7 @@ def _partials_fn(n_bits: int, n_hashes: int):
                     "bits": [f.to_bytes() for f in local.values()],
                     "n_bits": np.int64(n_bits),
                     "n_hashes": np.int32(n_hashes),
+                    "n_buckets": np.int32(n_buckets),
                 }
             )
 
@@ -207,7 +212,8 @@ def sketch_partial_rows(
     if not assume_keyed_layout:
         keyed = keyed.repartition(ref.n_buckets, "_bucket")
     return keyed.mapInPandas(
-        _partials_fn(ref.n_bits, ref.n_hashes), schema=_PARTIAL_SCHEMA
+        _partials_fn(ref.n_bits, ref.n_hashes, ref.n_buckets),
+        schema=_PARTIAL_SCHEMA,
     )
 
 
@@ -240,6 +246,7 @@ def sketch_df(spark, ref: SketchRef) -> DataFrame:
                 F.col("bits"),
                 F.col("n_bits").cast("long"),
                 F.col("n_hashes").cast("int"),
+                F.col("n_buckets").cast("int"),
             )
         )
     if not dfs:
@@ -267,6 +274,7 @@ def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
                 "bits": [words.tobytes()],
                 "n_bits": np.int64(ref.n_bits),
                 "n_hashes": np.int32(ref.n_hashes),
+                "n_buckets": np.int32(ref.n_buckets),
             }
         )
 

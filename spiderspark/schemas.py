@@ -59,6 +59,9 @@ SEEN_SKETCH = T.StructType(
         T.StructField("bits", T.BinaryType(), False),
         T.StructField("n_bits", T.LongType(), False),
         T.StructField("n_hashes", T.IntegerType(), False),
+        # routing modulus rides every row so resume can refuse a mismatched
+        # config (pmod(hash(url_hash), n_buckets) must match what was built)
+        T.StructField("n_buckets", T.IntegerType(), False),
     ]
 )
 
