@@ -70,12 +70,20 @@ def brute_force_topk(
             c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
             sims = c @ mat_q.T  # (batch, n_queries) — one GEMM
             # per-partition pre-top-k under the SAME total order as the
-            # final window (cos desc, n_id asc): a bare argpartition keeps
-            # an arbitrary member of cos-tied candidates at the k boundary,
-            # making the global result partitioning-dependent
+            # final window (cos desc, n_id asc). O(n) argpartition selects
+            # the top-k scores; because a bare argpartition keeps an
+            # ARBITRARY member of cos-tied candidates at the k boundary
+            # (partitioning-dependent result), the candidate set is widened
+            # to every row scoring >= the k-th score, then only that small
+            # slice is lexsorted for the deterministic tie-break.
             for qi in range(len(ids_q)):
                 s = sims[:, qi]
-                idx = np.lexsort((n_ids, -s))[:k]
+                if len(s) > k:
+                    thresh = s[np.argpartition(-s, k - 1)[:k]].min()
+                    cand = np.flatnonzero(s >= thresh)
+                else:
+                    cand = np.arange(len(s))
+                idx = cand[np.lexsort((n_ids[cand], -s[cand]))[:k]]
                 yield pd.DataFrame(
                     {
                         "q_id": ids_q[qi],

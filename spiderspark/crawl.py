@@ -310,7 +310,12 @@ def crawl_round(
     #    keys are already in the keyed layout so not even the delta
     #    exchanges). Compaction = distributed groupBy(bucket) bit-OR.
     sketch = state.sketch
-    if sketch is not None:
+    # skip the delta when nothing became seen this round (drained frontier /
+    # all fetches failed with attempts left): an empty write would leave a
+    # files-less directory and add a useless path to every future membership
+    # side-read. newly_seen_seg is checkpointed, so the emptiness probe is a
+    # cheap partition-local scan.
+    if sketch is not None and not newly_seen_seg.isEmpty():
         path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
         sketch = write_sketch_delta(
             newly_seen_seg, path, sketch, assume_keyed_layout=True

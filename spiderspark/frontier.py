@@ -238,7 +238,11 @@ def sketch_df(spark, ref: SketchRef) -> DataFrame:
 
     dfs = []
     for p in ref.paths:
-        df = spark.read.parquet(p)
+        # explicit schema: a delta directory can legally hold zero data files
+        # (every partition's partial was empty), and schema inference on a
+        # files-less dir raises UNABLE_TO_INFER_SCHEMA; the sketch schema is
+        # fixed, so never infer it
+        df = spark.read.schema(SEEN_SKETCH).parquet(p)
         dfs.append(
             df.select(
                 F.col("bucket").cast("int"),
@@ -296,8 +300,12 @@ def _load_bucket_words(paths, bucket: int, n_words: int) -> np.ndarray:
     for p in paths:
         try:
             dset = pads.dataset(p, format="parquet", partitioning="hive")
-        except Exception:
-            continue  # empty delta (no files written) — zero contribution
+        except FileNotFoundError:
+            continue  # path never written — zero contribution. ONLY missing
+            # paths may be swallowed: any other IO/permission/corruption
+            # error must fail the task (Spark retries it) — treating it as
+            # "no bits" would return _maybe=False for genuinely-seen keys,
+            # a silent Bloom false negative that re-crawls URLs forever
         if "bucket" not in dset.schema.names:
             continue
         tbl = dset.to_table(

@@ -188,11 +188,16 @@ class CuckooFilter:
                     break
             if placed:
                 continue
-            # eviction walk (deterministic slot choice: splitmix stream)
+            # eviction walk (deterministic slot choice: splitmix stream);
+            # the walk is recorded so a failed insert can be rolled back —
+            # without the rollback the displaced chain would leave the
+            # filter with a FALSE NEGATIVE for a previously-added key
             cur, cur_fp = a, f
+            walk: list[tuple[int, int]] = []
             for kick in range(self.max_kicks):
                 rng_state = _mix(rng_state + _GOLDEN)
                 slot = int(rng_state & np.uint64(self.SLOTS_PER_BUCKET - 1))
+                walk.append((cur, slot))
                 cur_fp, self.slots[cur, slot] = (
                     int(self.slots[cur, slot]),
                     cur_fp,
@@ -203,10 +208,23 @@ class CuckooFilter:
                     self.slots[cur, empty[0]] = cur_fp
                     break
             else:
+                # undo the displacement chain (reverse swaps restore every
+                # evicted fingerprint to its original slot; cur_fp ends as
+                # the in-hand key, which is simply not inserted). The filter
+                # is left EXACTLY as before this key's insert — keys added
+                # earlier in the batch remain present and queryable.
+                for bucket, slot in reversed(walk):
+                    cur_fp, self.slots[bucket, slot] = (
+                        int(self.slots[bucket, slot]),
+                        cur_fp,
+                    )
                 raise OverflowError(
-                    "cuckoo filter full — resize before adding (a silent "
-                    "drop would be a false negative, which the URL-seen "
-                    "contract forbids)"
+                    "cuckoo filter full — resize (rebuild at 2× buckets "
+                    "from the original keys) before adding; the failed "
+                    "insert was rolled back, so membership of all "
+                    "previously-added keys is intact (a silent drop would "
+                    "be a false negative, which the URL-seen contract "
+                    "forbids)"
                 )
         return self
 

@@ -96,9 +96,11 @@ class ParquetManifestStore(SnapshotStore):
                 writer = writer.partitionBy(*partition_by[name])
             writer.parquet(path)
             # per-partition lineage read back from the files just written —
-            # records exactly what was committed (BASELINE.json:14)
+            # records exactly what was committed (BASELINE.json:14). The
+            # read is schema-pinned: an EMPTY table commit writes only
+            # _SUCCESS, and schema inference on a files-less dir raises.
             spark = df.sparkSession
-            written = spark.read.parquet(path)
+            written = spark.read.schema(df.schema).parquet(path)
             lineage = [
                 {"partition_id": r["pid"], "rows": r["rows"]}
                 for r in written.groupBy(
@@ -108,6 +110,9 @@ class ParquetManifestStore(SnapshotStore):
             entry["tables"][name] = {
                 "path": rel,
                 "row_count": int(sum(l["rows"] for l in lineage)),
+                # schema rides the manifest so time travel to an empty
+                # table (zero data files) stays readable without inference
+                "schema": df.schema.jsonValue(),
             }
             entry["lineage"][name] = lineage
 
@@ -133,7 +138,13 @@ class ParquetManifestStore(SnapshotStore):
         return os.path.join(self.root, m["tables"][table]["path"])
 
     def read(self, spark: SparkSession, snapshot_id: int, table: str) -> DataFrame:
-        return spark.read.parquet(self.table_path(snapshot_id, table))
+        from pyspark.sql import types as T
+
+        meta = self.manifest(snapshot_id)["tables"][table]
+        reader = spark.read
+        if "schema" in meta:  # pre-schema manifests fall back to inference
+            reader = reader.schema(T.StructType.fromJson(meta["schema"]))
+        return reader.parquet(self.table_path(snapshot_id, table))
 
     def head(self) -> int | None:
         p = os.path.join(self.root, "HEAD")

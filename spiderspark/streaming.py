@@ -145,26 +145,42 @@ def stream_tumbling_counts(spark, sf_dir):
     # itself is read-only — never modified)
     import tempfile
 
+    import shutil
+
     stream_dir = tempfile.mkdtemp(prefix="spiderstream-events-")
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
-    stream = spark.readStream.schema(schema).parquet(stream_dir)
-    agg = stream.groupBy(
-        F.window("ts", "1 hour").alias("w"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    query = None
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(name).select(
-        F.col("w.start").alias("w_start"), "event_type", "n", "total"
-    )
+    try:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stream_dir, "events.parquet"),
+        )
+        stream = spark.readStream.schema(schema).parquet(stream_dir)
+        agg = stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # detach the result from the memory sink (localCheckpoint survives
+        # dropping the sink table) so repeated invocations in one session —
+        # contract checks, bench loops — don't accumulate sink tables,
+        # stopped queries, or temp dirs
+        return (
+            spark.table(name)
+            .select(F.col("w.start").alias("w_start"), "event_type", "n", "total")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if query is not None:
+            query.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 # -- ST6: snapshot-commit sink ------------------------------------------------

@@ -131,3 +131,28 @@ def test_cuckoo_bytes_roundtrip():
     cf2 = CuckooFilter.from_bytes(cf.to_bytes(), cf.n_buckets)
     assert (cf2.slots == cf.slots).all()
     assert cf2.contains(keys).all()
+
+
+def test_cuckoo_overflow_rolls_back_displacement_chain():
+    """ADVICE r02: a failed insert must not corrupt membership of keys that
+    were already added — the eviction walk is undone before raising."""
+    from spiderspark.sketch import CuckooFilter
+
+    rng = np.random.RandomState(10)
+    cf = CuckooFilter(8)  # 32 slots total — overflows quickly
+    keys = np.unique(rng.randint(-(2**62), 2**62, size=500))
+    added = []
+    snapshot = None
+    for key in keys:
+        before = cf.slots.copy()
+        try:
+            cf.add([key])
+            added.append(key)
+        except OverflowError:
+            snapshot = before
+            break
+    assert snapshot is not None, "filter never overflowed — enlarge the key set"
+    # state is EXACTLY what it was before the failing insert...
+    assert (cf.slots == snapshot).all()
+    # ...so every previously-added key is still present (zero false negatives)
+    assert cf.contains(np.array(added)).all()

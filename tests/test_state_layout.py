@@ -200,3 +200,57 @@ def test_snapshot_ids_never_clobber(spark):
     assert len({s1, s2, s3}) == 3
     assert store.read(spark, s2, "t").count() == 4
     assert store.read(spark, s3, "t").count() == 5
+
+
+def test_empty_delta_dir_readable_and_harmless(spark):
+    """ADVICE r02 (high): a delta written from an EMPTY key set holds zero
+    data files (only _SUCCESS); sketch_df / compact_sketch / membership must
+    treat it as a zero contribution, not raise UNABLE_TO_INFER_SCHEMA."""
+    tmp = tempfile.mkdtemp(prefix="sketchtest-")
+    rng = np.random.RandomState(21)
+    keys = rng.randint(-(2**62), 2**62, size=2_000)
+    ref = _mk_sketch(spark, tmp, keys)
+    empty = spark.createDataFrame([], "url_hash long")
+    ref = write_sketch_delta(empty, os.path.join(tmp, "d_empty"), ref)
+
+    # read path: no schema inference on the files-less dir
+    total = sketch_df(spark, ref).count()
+    assert total > 0  # the non-empty delta's rows are all still there
+
+    # membership unchanged: every real key still maybe-seen
+    probe = spark.createDataFrame([(int(k),) for k in keys], "url_hash long")
+    assert sketch_flag_maybe_seen(probe, ref).filter(~F.col("_maybe")).count() == 0
+
+    # compaction across (real, empty) deltas also survives
+    compacted = compact_sketch(spark, ref, os.path.join(tmp, "base"))
+    assert (
+        sketch_flag_maybe_seen(probe, compacted).filter(~F.col("_maybe")).count() == 0
+    )
+
+
+def test_crawl_round_with_nothing_newly_seen_commits(spark):
+    """ADVICE r02 (high), end-to-end: a store-backed round in which NO url
+    becomes seen (no page fetched, attempts left) must not crash commit —
+    the sketch-delta write is skipped for the empty newly-seen segment."""
+    from spiderspark.crawl import CrawlConfig, crawl_round, init_state, keyed_pages
+    from spiderspark.politeness import HostPolicy
+    from spiderspark.snapshots import ParquetManifestStore
+
+    store = ParquetManifestStore(tempfile.mkdtemp(prefix="snapstore-"))
+    seeds = spark.createDataFrame(
+        [(f"http://h{i}.example/p/{i}", 0.0) for i in range(20)],
+        "url string, priority double",
+    )
+    # empty corpus → every fetch misses; max_attempts=3 keeps them requeued
+    pages = keyed_pages(
+        spark.createDataFrame([], "url string, html binary"), n_parts=4
+    )
+    config = CrawlConfig(
+        policy=HostPolicy(default_budget=8.0), state_buckets=4, max_attempts=3
+    )
+    state = init_state(spark, seeds, None, config)
+    state, schedule, _log = crawl_round(spark, state, pages, config, store=store)
+    assert schedule.count() > 0
+    assert state.snapshot_id is not None
+    assert state.seen.total_rows() == 0  # nothing seen...
+    assert len(state.sketch.paths) == 0  # ...and no delta dir was written
