@@ -70,8 +70,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame. Every
     computed column is aliased identically in the matching oracle SQL.
     """
-    out = dict(_q.QUERIES)
-    out["crawl_schedule_round"] = schedule_round_df  # rows-only (engine op)
+    # EXACTLY 50 entries: the external driver records at most 50 queries
+    # (CORRECTNESS r01 and r02 both truncated at 50, silently dropping the
+    # tail), so the registry is sized to the cap — U1-U3 share the tagged
+    # `set_ops` row, langid+fingerprint share `text_profile`. The flagship
+    # engine op goes FIRST so it can never fall off the end.
+    out = {"crawl_schedule_round": schedule_round_df}  # rows-only (engine op)
+    out.update(_q.QUERIES)
+    assert len(out) <= 50, f"driver records only 50 queries; got {len(out)}"
     return out
 
 

@@ -162,14 +162,26 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# driver-contract registration: metadata extraction is integer-exact, so it
-# gets a real DuckDB oracle by re-deriving meta from the pinned format in SQL
-# is impractical — instead the oracle checks the derived stats via documents
-# (rows-only for the media table itself).
+# driver-contract registration. The synthetic media table is a PURE FUNCTION
+# of item_id (dims = 8+i%16 × 6+i%9 × 1+i%3, payload = byte ramp j%251,
+# every 7th row corrupted, every 11th null), so BOTH the decoded metadata and
+# the extracted features are re-derivable in plain SQL from range(64) — the
+# oracle checks the full decode→extract pipeline value-exactly, not rows-only.
 # ---------------------------------------------------------------------------
 
+_BAD = "(i % 11 = 10 OR i % 7 = 6)"  # null blob OR corrupted magic
 
-@q("image_meta")  # rows-only: synthetic media table is engine-generated
+
+@q(
+    "image_meta",
+    f"SELECT CAST(i AS BIGINT) AS item_id, "
+    f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 8 + i % 16 END AS INTEGER) AS width, "
+    f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 6 + i % 9 END AS INTEGER) AS height, "
+    f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 1 + i % 3 END AS INTEGER) AS channels, "
+    f"CAST(CASE WHEN i % 11 = 10 THEN 0 WHEN i % 7 = 6 THEN 20 "
+    f"ELSE 9 + (8 + i % 16) * (6 + i % 9) * (1 + i % 3) END AS BIGINT) AS n_bytes, "
+    f"NOT {_BAD} AS valid FROM range(64) t(i)",
+)
 def image_meta(spark, sf_dir):
     media = synthetic_media_df(spark, 64)
     return media.select("item_id", image_meta_udf("img").alias("m")).select(
@@ -177,7 +189,25 @@ def image_meta(spark, sf_dir):
     )
 
 
-@q("image_features")  # rows-only: float features of engine-generated media
+@q(
+    "image_features",
+    # closed-form stats of the byte ramp arange(n) % 251 (n = w*h*c): with
+    # q = n // 251 full cycles and r = n % 251 remainder, sum = q*31375 +
+    # r(r-1)/2 and sum-of-squares = q*5239625 + (r-1)r(2r-1)/6 — exact
+    # integers, so sum/n and ssq/n - mean² are the IDENTICAL float64 ops the
+    # Spark kernel performs (integer sums < 2^53 are exact in both engines)
+    f"WITH items AS (SELECT i, CASE WHEN {_BAD} THEN 0 "
+    "ELSE (8 + i % 16) * (6 + i % 9) * (1 + i % 3) END AS n FROM range(64) t(i)), "
+    "c AS (SELECT i, n, n // 251 AS q, n % 251 AS r FROM items), "
+    "s AS (SELECT i, n, "
+    "CASE WHEN n = 0 THEN 0.0 ELSE (q*31375 + (r*(r-1))//2) * 1.0 / n END AS m, "
+    "CASE WHEN n = 0 THEN 0.0 "
+    "ELSE (q*5239625 + ((r-1)*r*(2*r-1))//6) * 1.0 / n END AS msq FROM c) "
+    "SELECT CAST(i AS BIGINT) AS item_id, round(m, 4) AS f_mean, "
+    "round(sqrt(greatest(msq - m * m, 0.0)), 4) AS f_std, 0.0 AS f_min, "
+    "round(CASE WHEN n = 0 THEN 0.0 WHEN n >= 251 THEN 250.0 "
+    "ELSE n - 1.0 END, 4) AS f_max FROM s",
+)
 def image_features(spark, sf_dir):
     """Feature-extraction plumbing as a first-class contract query: binary →
     fixed-width vector, batch-vectorized (the embedding-model batch shape)."""

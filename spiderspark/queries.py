@@ -526,44 +526,33 @@ def topk_orders(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @q(
-    "union_all",
+    "set_ops",
+    # one tagged query covers U1+U2+U3 — the external driver records at most
+    # 50 queries() entries (measured: CORRECTNESS r01 AND r02 both truncate
+    # at exactly 50 rows), so the three set operators share one ★ row
+    "SELECT 'u' AS op, doc_id FROM ("
     "SELECT doc_id FROM documents WHERE lang = 'en' "
-    "UNION ALL SELECT doc_id FROM documents WHERE source = 'src1'",
-)
-def union_all(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.col("lang") == "en")
-        .select("doc_id")
-        .unionAll(docs.filter(F.col("source") == "src1").select("doc_id"))
-    )
-
-
-@q(
-    "except_seen",
+    "UNION ALL SELECT doc_id FROM documents WHERE source = 'src1') "
+    "UNION ALL SELECT 'e' AS op, doc_id FROM ("
     "SELECT doc_id FROM documents EXCEPT "
-    "SELECT doc_id FROM documents WHERE lang = 'en'",
-)
-def except_seen(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id").subtract(
-        docs.filter(F.col("lang") == "en").select("doc_id")
-    )
-
-
-@q(
-    "intersect_urls",
+    "SELECT doc_id FROM documents WHERE lang = 'en') "
+    "UNION ALL SELECT 'i' AS op, doc_id FROM ("
     "SELECT doc_id FROM documents WHERE lang = 'en' INTERSECT "
-    "SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2')",
+    "SELECT doc_id FROM documents WHERE source IN ('src0','src1','src2'))",
 )
-def intersect_urls(spark, sf_dir):
+def set_ops(spark, sf_dir):
+    """U1 unionAll + U2 subtract (EXCEPT) + U3 intersect, tagged per branch."""
     docs = _t(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    u = en.unionAll(docs.filter(F.col("source") == "src1").select("doc_id"))
+    e = docs.select("doc_id").subtract(en)
+    i = en.intersect(
+        docs.filter(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
+    )
     return (
-        docs.filter(F.col("lang") == "en")
-        .select("doc_id")
-        .intersect(
-            docs.filter(F.col("source").isin("src0", "src1", "src2")).select("doc_id")
-        )
+        u.select(F.lit("u").alias("op"), "doc_id")
+        .unionByName(e.select(F.lit("e").alias("op"), "doc_id"))
+        .unionByName(i.select(F.lit("i").alias("op"), "doc_id"))
     )
 
 

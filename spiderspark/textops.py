@@ -133,13 +133,13 @@ def text_quality(spark, sf_dir):
     )
 
 
-@q("langid")  # heuristic — rows-only
-def langid(spark, sf_dir):
-    return with_langid(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
-
-
-@q("fingerprint")  # xxhash64 not available in DuckDB — rows-only
-def fingerprint(spark, sf_dir):
-    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
+@q("text_profile")  # rows-only: langid is heuristic, xxhash64 absent in DuckDB
+def text_profile(spark, sf_dir):
+    """Language-ID + content fingerprint in one profile row per document
+    (merged from the former separate `langid` / `fingerprint` entries: the
+    external driver records at most 50 queries() rows, so the two rows-only
+    text ops share one — both kernels still unit-tested separately)."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_fingerprint(with_langid(docs)).select(
+        "doc_id", "lang_pred", "fingerprint"
     )
