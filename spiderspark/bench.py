@@ -65,15 +65,22 @@ def run_headline(
     n_frontier: int,
     use_bloom: bool = True,
     warmup: bool = True,
-    repeats: int = int(os.environ.get("SPIDERSPARK_BENCH_REPEATS", "3")),
+    repeats: int = int(os.environ.get("SPIDERSPARK_BENCH_REPEATS", "10")),
+    min_repeats: int = int(os.environ.get("SPIDERSPARK_BENCH_MIN_REPEATS", "5")),
 ) -> dict:
     """Timed headline rounds; returns the FASTEST repeat (+ all walls).
 
     ``warmup`` first runs one identical small round so python workers
     (fork + numpy/pandas import, once per core) and JIT are paid before the
     clock — the metric is steady-state round throughput, which is what a
-    multi-round crawl on a long-lived cluster sees. ``repeats`` re-runs the
-    identical round; min-of-N removes transient sandbox contention.
+    multi-round crawl on a long-lived cluster sees.
+
+    Repeat policy (round-2 lesson: a 3-sample record was taken while walls
+    were STILL DESCENDING — JVM JIT + page cache warm over several full-size
+    rounds, and co-tenant noise on this box swings single samples ±2-3×):
+    run identical rounds until the best wall PLATEAUS — at least
+    ``min_repeats`` samples, stop early only when the last two rounds
+    brought no >3% improvement, cap at ``repeats``. The metric is min-of-N.
     """
     import shutil
     import tempfile
@@ -129,10 +136,16 @@ def run_headline(
     t_warm = time.time() - t_w0
 
     delta_root = tempfile.mkdtemp(prefix="spiderbench-delta-")
-    rounds = [
-        one_round(spark, raw, seen_table, sketch, policy, n_buckets, delta_root)
-        for _ in range(max(1, repeats))
-    ]
+    rounds = []
+    for i in range(max(1, repeats)):
+        rounds.append(
+            one_round(spark, raw, seen_table, sketch, policy, n_buckets, delta_root)
+        )
+        if i + 1 >= max(1, min_repeats):
+            walls = [r["wall_s"] for r in rounds]
+            # plateau: neither of the last two rounds improved best by >3%
+            if min(walls[-2:]) > min(walls[:-2]) * 0.97:
+                break
     best = min(rounds, key=lambda r: r["wall_s"])
     assert len({r["schedule_digest"] for r in rounds}) == 1, "nondeterministic schedule!"
 
@@ -159,15 +172,27 @@ HEADLINE_QUERIES = [
 ]
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(
+    spark,
+    sf_dir: str,
+    repeats: int = int(os.environ.get("SPIDERSPARK_BENCH_QUERY_REPEATS", "5")),
+) -> dict[str, float]:
+    """Per-query walls, min-of-N: the first execution of a query pays plan
+    compilation + python-worker spin-up (5-10× the steady-state wall) and a
+    single sample rides whatever the co-tenant is doing — the recorded
+    number is the best of ``repeats`` identical runs, the steady-state cost
+    a long-lived cluster session sees."""
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
     out = {}
     for i, name in enumerate(HEADLINE_QUERIES, 1):
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[f"q{i}_{name}"] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        out[f"q{i}_{name}"] = round(min(walls), 3)
     return out
 
 

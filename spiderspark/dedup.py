@@ -163,23 +163,21 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), minhash_udf(F.col(text_col)).alias("sig")
     )
 
+    # band key as ONE flat hash array + posexplode (pos IS the band id):
+    # n_bands xxhash64 exprs instead of n_bands structs + a struct-array
+    # build — measurably less codegen/eval weight on the banding stage
     bands = sigs.select(
         "id",
         "sig",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bh"),
-                    )
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band))
                     for b in range(n_bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bh")
+        ).alias("band", "bh"),
+    )
 
     a = bands.alias("a")
     b = bands.alias("b")
