@@ -87,10 +87,21 @@ def run_headline(
 
     from pyspark.sql import functions as F
 
-    from .bench_round import one_round
-    from .frontier import SketchRef, seeds_to_frontier, write_sketch_delta
+    from .bench_round import one_round, one_round_fused
+    from .frontier import (
+        SketchRef,
+        host_bucket_col,
+        seeds_to_frontier,
+        write_sketch_delta,
+    )
     from .politeness import HostPolicy
+    from .schedule import assign_salts_static, static_salt_table
     from .state import SegmentedTable
+
+    # the scheduler-layout round (ONE full-width exchange; fused membership +
+    # budget pre-selection — see bench_round.one_round_fused). The classic
+    # url_hash-layout round stays available for A/B: SPIDERSPARK_BENCH_CLASSIC=1
+    use_fused = use_bloom and not os.environ.get("SPIDERSPARK_BENCH_CLASSIC")
 
     parallelism = spark.sparkContext.defaultParallelism
     n_buckets = 32  # state/sketch bucket count — FIXED across parallelism
@@ -106,21 +117,51 @@ def run_headline(
     frontier_urls_dist(spark, n_frontier, parallelism).write.parquet(f"{in_dir}/raw")
     seeds_to_frontier(
         spark, frontier_urls_dist(spark, n_frontier // 3, parallelism), batch_id=0
-    ).select("url_hash").withColumn(
+    ).select("url_hash", "url_norm", "host").withColumn(
         "first_batch", F.lit(0).cast("long")
     ).write.parquet(f"{in_dir}/seen")
     raw = spark.read.parquet(f"{in_dir}/raw")
+    seen_full = spark.read.parquet(f"{in_dir}/seen")
     seen_table = SegmentedTable.from_df(
-        spark.read.parquet(f"{in_dir}/seen"), n_parts=n_buckets
+        seen_full.select("url_hash", "first_batch"), n_parts=n_buckets
     )
+
+    # per-crawl static salt table — state, like the seen set (the schedule is
+    # invariant to the salting scheme, so any size estimate is correct)
+    salts = static_salt_table(
+        seeds_to_frontier(spark, raw, batch_id=0)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_n")),
+        skew_threshold=20_000,
+    ).localCheckpoint(eager=True)
 
     cap = max(4096, n_frontier // n_buckets)
     sketch = None
-    if use_bloom:
+    if use_bloom and use_fused:
+        sketch = SketchRef.create(
+            n_buckets, cap, 0.01, routing=("host_bucket", "salt")
+        )
+        seen_hb = assign_salts_static(
+            seen_full.withColumn("host_bucket", host_bucket_col(F.col("host"))),
+            salts,
+        ).repartition(n_buckets, "host_bucket", "salt")
+        sketch = write_sketch_delta(
+            seen_hb, f"{in_dir}/sketch", sketch, assume_keyed_layout=True
+        )
+    elif use_bloom:
         sketch = SketchRef.create(n_buckets, cap, 0.01)
         sketch = write_sketch_delta(
             seen_table.segments[0], f"{in_dir}/sketch", sketch,
             assume_keyed_layout=True,
+        )
+
+    def round_fn(input_df, root):
+        if use_fused:
+            return one_round_fused(
+                spark, input_df, seen_table, sketch, policy, n_buckets, root, salts
+            )
+        return one_round(
+            spark, input_df, seen_table, sketch, policy, n_buckets, root
         )
 
     t_w0 = time.time()
@@ -128,19 +169,14 @@ def run_headline(
         small = frontier_urls_dist(spark, max(20_000, n_frontier // 50), parallelism)
         small_dir = tempfile.mkdtemp(prefix="spiderbench-warm-")
         small.write.parquet(f"{small_dir}/raw")
-        one_round(
-            spark, spark.read.parquet(f"{small_dir}/raw"), seen_table, sketch,
-            policy, n_buckets, small_dir,
-        )
+        round_fn(spark.read.parquet(f"{small_dir}/raw"), small_dir)
         shutil.rmtree(small_dir, ignore_errors=True)
     t_warm = time.time() - t_w0
 
     delta_root = tempfile.mkdtemp(prefix="spiderbench-delta-")
     rounds = []
     for i in range(max(1, repeats)):
-        rounds.append(
-            one_round(spark, raw, seen_table, sketch, policy, n_buckets, delta_root)
-        )
+        rounds.append(round_fn(raw, delta_root))
         if i + 1 >= max(1, min_repeats):
             walls = [r["wall_s"] for r in rounds]
             # plateau: neither of the last two rounds improved best by >3%

@@ -20,6 +20,105 @@ import time
 import uuid
 
 
+def one_round_fused(
+    spark,
+    raw,
+    seen_table,
+    sketch,
+    policy,
+    n_buckets: int,
+    delta_root: str,
+    salts,
+) -> dict:
+    """The scheduler-layout round: candidates keyed by (host_bucket, salt)
+    — ONE full-width exchange per round. Dedup plans exchange-free on the
+    layout (groupBy superset keys); membership + budget pre-selection run in
+    one partition-local pass (frontier.membership_prefix_topk, task reads
+    exactly its own sketch slice); only the kept sliver exchanges for the
+    exact anti-join; the final per-host window ranks O(selected) rows. The
+    schedule digest is IDENTICAL to one_round's (selection proved exact for
+    any salt assignment).
+
+    ``salts``: the per-crawl static (host, n_salts) table — state, prepared
+    outside the clock like the seen set."""
+    from pyspark.sql import functions as F
+
+    from .frontier import (
+        dedup_within_batch,
+        membership_prefix_topk,
+        seeds_to_frontier,
+        write_sketch_delta,
+    )
+    from .politeness import join_host_state, robots_gate
+    from .schedule import assign_salts_static, per_host_topk_final, to_schedule
+    from .schemas import HOST_STATE
+    from .state import materialize_keyed
+
+    t0 = time.time()
+    keyed = materialize_keyed(
+        dedup_within_batch(
+            assign_salts_static(
+                seeds_to_frontier(spark, raw, batch_id=0), salts
+            ).repartition(n_buckets, "host_bucket", "salt"),
+            extra_keys=("host_bucket", "salt"),
+        ),
+        repartition=False,
+    )
+    t_canon = time.time() - t0
+
+    t2 = time.time()
+    budgeted = join_host_state(keyed, spark.createDataFrame([], HOST_STATE), policy)
+    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+    kept = membership_prefix_topk(gated, sketch).localCheckpoint(eager=True)
+    definite = kept.filter(~F.col("_maybe")).drop("_maybe")
+    sliver = (
+        kept.filter(F.col("_maybe"))
+        .drop("_maybe")
+        .repartition(seen_table.n_parts, "url_hash")
+    )
+    survivors = definite.unionByName(seen_table.anti_probe(sliver))
+    selected = per_host_topk_final(
+        survivors, "host_budget", k_cap=int(policy.default_budget)
+    )
+    schedule = to_schedule(selected, batch_id=1)
+    digest_row = schedule.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))").alias("d"),
+    ).collect()[0]
+    t_sched = time.time() - t2
+
+    t3 = time.time()
+    if sketch is not None:
+        from .frontier import host_bucket_col
+
+        # the key's bucket must be derived from the URL's TRUE (hb, salt) —
+        # the same routing a future frontier row for this url will carry —
+        # or the bits land in a slice that row's membership task never reads
+        newly_seen = assign_salts_static(
+            schedule.select(
+                "url_hash", "url_norm", "host",
+                host_bucket_col(F.col("host")).alias("host_bucket"),
+            ),
+            salts,
+        )
+        write_sketch_delta(
+            newly_seen.repartition(n_buckets, "host_bucket", "salt"),
+            os.path.join(delta_root, f"delta-{uuid.uuid4().hex[:8]}"),
+            sketch,
+            assume_keyed_layout=True,
+        )
+    t_delta = time.time() - t3
+    wall = time.time() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "canon_dedup_s": round(t_canon, 3),
+        "schedule_s": round(t_sched, 3),
+        "sketch_delta_s": round(t_delta, 3),
+        "n_scheduled": digest_row["n"],
+        "schedule_digest": int(digest_row["d"] or 0),
+    }
+
+
 def one_round(
     spark,
     raw,

@@ -104,7 +104,9 @@ def seeds_to_frontier(spark, seeds: DataFrame, batch_id: int = 0) -> DataFrame:
     )
 
 
-def dedup_within_batch(frontier: DataFrame) -> DataFrame:
+def dedup_within_batch(
+    frontier: DataFrame, extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """A2: keep ONE row per url_hash — deterministically the best one by the
     engine's total order (priority, depth, discovered_batch, url).
 
@@ -113,15 +115,22 @@ def dedup_within_batch(frontier: DataFrame) -> DataFrame:
     map-side partial aggregation (vs a window over a full shuffle+sort).
     When the input is already hash-partitioned by url_hash the groupBy plans
     with no exchange at all.
+
+    ``extra_keys``: additional grouping columns that are FUNCTIONS of the
+    url (e.g. host_bucket, salt — both derived from url_norm, like url_hash
+    itself). Grouping by (extra_keys, url_hash) is semantically identical,
+    but lets Catalyst prove the groupBy exchange-free when the input is
+    partitioned on ``extra_keys`` (hash exprs ⊆ grouping exprs).
     """
+    keys = list(extra_keys) + ["url_hash"]
     ordered_struct = F.struct(
         F.col("priority"), F.col("depth"), F.col("discovered_batch"),
         F.col("url"),  # total tie-break: url string is unique per row
         *[F.col(c) for c in frontier.columns if c not in
-          ("priority", "depth", "discovered_batch", "url", "url_hash")],
+          ("priority", "depth", "discovered_batch", "url", *keys)],
     )
-    best = frontier.groupBy("url_hash").agg(F.min(ordered_struct).alias("r"))
-    return best.select("url_hash", "r.*").select(*frontier.columns)
+    best = frontier.groupBy(*keys).agg(F.min(ordered_struct).alias("r"))
+    return best.select(*keys, "r.*").select(*frontier.columns)
 
 
 def anti_join_seen(frontier: DataFrame, seen: DataFrame) -> DataFrame:
@@ -139,25 +148,41 @@ class SketchRef:
     """Handle to the distributed sketch: a list of bucket-partitioned
     parquet directories (base + LSM-style deltas, OR-equivalent) plus the
     shared Bloom parameters. Readers OR all rows they find for a bucket, so
-    deltas need no eager merge; ``compact_sketch`` bounds the list."""
+    deltas need no eager merge; ``compact_sketch`` bounds the list.
+
+    ``routing`` is the column tuple the bucket is derived from. The CONTENT
+    of every bucket filter is always url_hash bits; routing only decides
+    WHICH bucket a key's bits live in, and must equal the partitioning of
+    the table the membership pass runs over (bucket expr == Spark's
+    HashPartitioning expr ⇒ one slice per task). ``("url_hash",)`` matches
+    the url_hash-keyed state layout; ``("host_bucket", "salt")`` matches the
+    scheduler-layout frontier (see membership_prefix_topk)."""
 
     paths: tuple[str, ...]
     n_buckets: int
     n_bits: int
     n_hashes: int
+    routing: tuple[str, ...] = ("url_hash",)
 
     @classmethod
-    def create(cls, n_buckets: int, capacity_per_bucket: int, fpp: float) -> "SketchRef":
+    def create(
+        cls,
+        n_buckets: int,
+        capacity_per_bucket: int,
+        fpp: float,
+        routing: tuple[str, ...] = ("url_hash",),
+    ) -> "SketchRef":
         n_bits, n_hashes = optimal_params(max(1, capacity_per_bucket), fpp)
-        return cls((), n_buckets, n_bits, n_hashes)
+        return cls((), n_buckets, n_bits, n_hashes, tuple(routing))
 
 
-def sketch_bucket_col(n_buckets: int, key: str = "url_hash") -> Column:
-    """Bucket routing = pmod(murmur3(url_hash), n_buckets) — the SAME
-    function Spark's ``repartition(n, key)`` uses, so a table stored in the
-    keyed layout with n_parts == n_buckets has exactly one bucket per
-    partition: a membership task reads exactly one sketch slice."""
-    return F.pmod(F.hash(key), F.lit(n_buckets)).cast("int")
+def sketch_bucket_col(n_buckets: int, *cols: str) -> Column:
+    """Bucket routing = pmod(murmur3(cols), n_buckets) — the SAME function
+    Spark's ``repartition(n, *cols)`` uses, so a table stored in the keyed
+    layout on the same columns with n_parts == n_buckets has exactly one
+    bucket per partition: a membership task reads exactly one sketch slice."""
+    cols = cols or ("url_hash",)
+    return F.pmod(F.hash(*cols), F.lit(n_buckets)).cast("int")
 
 
 _PARTIAL_SCHEMA = (
@@ -203,11 +228,13 @@ def sketch_partial_rows(
     keys_df: DataFrame, ref: SketchRef, assume_keyed_layout: bool = False
 ) -> DataFrame:
     """Per-partition partial filters as (bucket, bits) rows — stage 1 of the
-    distributed build. ``assume_keyed_layout=True`` skips the bucket
-    exchange when the input is already in the keyed layout with
+    distributed build. ``keys_df`` must carry url_hash plus ref.routing's
+    columns. ``assume_keyed_layout=True`` skips the bucket exchange when the
+    input is already in the keyed layout on the routing columns with
     n_parts == n_buckets (each partition IS one bucket)."""
-    keyed = keys_df.select("url_hash").withColumn(
-        "_bucket", sketch_bucket_col(ref.n_buckets)
+    cols = list(dict.fromkeys(("url_hash",) + ref.routing))
+    keyed = keys_df.select(*cols).withColumn(
+        "_bucket", sketch_bucket_col(ref.n_buckets, *ref.routing)
     )
     if not assume_keyed_layout:
         keyed = keyed.repartition(ref.n_buckets, "_bucket")
@@ -228,7 +255,9 @@ def write_sketch_delta(
     partition's buckets; nothing visits the driver."""
     rows = sketch_partial_rows(keys_df, ref, assume_keyed_layout)
     rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    return SketchRef(ref.paths + (path,), ref.n_buckets, ref.n_bits, ref.n_hashes)
+    return SketchRef(
+        ref.paths + (path,), ref.n_buckets, ref.n_bits, ref.n_hashes, ref.routing
+    )
 
 
 def sketch_df(spark, ref: SketchRef) -> DataFrame:
@@ -288,7 +317,9 @@ def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
         .applyInPandas(or_rows, schema=_PARTIAL_SCHEMA)
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
-    return SketchRef((out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes)
+    return SketchRef(
+        (out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes, ref.routing
+    )
 
 
 def _load_bucket_words(paths, bucket: int, n_words: int) -> np.ndarray:
@@ -353,7 +384,7 @@ def sketch_flag_maybe_seen(df: DataFrame, ref: SketchRef) -> DataFrame:
             yield pdf[in_cols].assign(_maybe=out)
 
     return (
-        df.withColumn("_bucket", sketch_bucket_col(ref.n_buckets))
+        df.withColumn("_bucket", sketch_bucket_col(ref.n_buckets, *ref.routing))
         .mapInPandas(membership, schema=out_schema)
     )
 
@@ -404,6 +435,110 @@ def dedup_against_seen(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fused membership + guarded-prefix top-k (the scheduler-layout fast path)
+# ---------------------------------------------------------------------------
+
+_PREFIX_ORDER = ("priority", "depth", "discovered_batch", "url_hash")
+
+
+def membership_prefix_topk(
+    df: DataFrame, ref: SketchRef, k_col: str = "host_budget"
+) -> DataFrame:
+    """ONE partition-local pass that fuses J2 sketch membership with an
+    EXACT per-host budget pre-selection — the operator that removes the
+    full-candidate (host, salt) window exchange from the scheduling path.
+
+    Requires ``df`` hash-partitioned on ref.routing (the scheduler layout,
+    e.g. (host_bucket, salt)) with the politeness ``k_col`` already joined
+    on. Per partition and per host, rows are walked in the engine total
+    order keeping every row that could still make the host's top-budget
+    after the seen rows are removed: a definite-unseen row (Bloom says
+    unseen — no false negatives) is kept while its definite-rank ≤ budget; a
+    maybe-seen row is kept while FEWER than budget definite rows precede it
+    (if ≥ budget strictly better definitely-unseen rows exist, nothing this
+    row turns out to be can put it in the top-budget). The kept union across
+    partitions/batches is therefore an EXACT superset of the true per-host
+    top-budget over unseen rows — the final small window re-ranks it after
+    the exact anti-join clears the maybes.
+
+    Output: kept rows + ``_maybe`` (False ⇒ definitely unseen). With no
+    sketch (ref.paths empty) every row is maybe-seen and nothing can be
+    pre-cut; callers should use the classic path then.
+
+    Scale shape: input partitions are complete (host, salt) groups, so kept
+    rows per partition ≈ hosts_in_partition × budget × (1 + seen-share) per
+    Arrow batch — the downstream exchange is O(selected), not O(candidates).
+    The task side-reads exactly its own sketch slice (routing == layout).
+
+    Cost shape: the pandas pass sees an ALL-NUMERIC thin projection (host as
+    a JVM xxhash64 key — string/array columns never cross the Arrow
+    boundary; that conversion would dominate the stage) and emits only
+    (url_hash, _maybe) keys; the kept keys are broadcast-joined back onto
+    ``df``, which preserves its partitioning. Requires ``df`` deduped on
+    url_hash (state segments are, by invariant). For deployments where the
+    kept set outgrows a broadcast (budget × hosts ≫ 10^7), join back on
+    (routing..., url_hash) instead — layout-satisfied on the big side.
+    """
+    paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
+    n_words = n_bits // 64
+
+    def fn(batches):
+        blooms: dict[int, Bloom] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            keys = pdf["url_hash"].to_numpy()
+            buckets = pdf["_bucket"].to_numpy()
+            maybe = np.zeros(n, dtype=bool)
+            for b in pd.unique(buckets):
+                f = blooms.get(int(b))
+                if f is None:
+                    f = blooms[int(b)] = Bloom(
+                        n_bits, n_hashes, _load_bucket_words(paths, int(b), n_words)
+                    )
+                m = buckets == b
+                maybe[m] = f.contains(keys[m])
+
+            order = np.lexsort(
+                (
+                    keys,
+                    pdf["discovered_batch"].to_numpy(),
+                    pdf["depth"].to_numpy(),
+                    pdf["priority"].to_numpy(),
+                    pdf["_hkey"].to_numpy(),
+                )
+            )
+            g = pdf["_hkey"].to_numpy()[order]
+            is_maybe = maybe[order]
+            d_cum = np.cumsum(~is_maybe)
+            # segmented cumsum: definite-rank within each host run
+            changed = np.empty(n, dtype=bool)
+            changed[0] = True
+            np.not_equal(g[1:], g[:-1], out=changed[1:])
+            run_start = np.flatnonzero(changed)
+            run_id = np.cumsum(changed) - 1
+            run_base = np.concatenate(([0], d_cum[run_start[1:] - 1]))
+            d_incl = d_cum - run_base[run_id]
+            k_f = pdf[k_col].to_numpy()[order]
+            keep = (d_incl + is_maybe.astype(np.int64)) <= k_f
+            sel = order[keep]
+            yield pd.DataFrame({"url_hash": keys[sel], "_maybe": maybe[sel]})
+
+    thin = df.select(
+        "url_hash",
+        F.xxhash64("host").alias("_hkey"),
+        "priority",
+        "depth",
+        "discovered_batch",
+        k_col,
+        sketch_bucket_col(ref.n_buckets, *ref.routing).alias("_bucket"),
+    )
+    kept_keys = thin.mapInPandas(fn, schema="url_hash long, _maybe boolean")
+    return df.join(F.broadcast(kept_keys), "url_hash")
 
 
 # ---------------------------------------------------------------------------

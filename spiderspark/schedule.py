@@ -55,6 +55,42 @@ def assign_salts(candidates: DataFrame, skew_threshold: int = SKEW_THRESHOLD) ->
     )
 
 
+def static_salt_table(host_counts: DataFrame, skew_threshold: int = SKEW_THRESHOLD) -> DataFrame:
+    """Per-CRAWL static salt-split table (host, n_salts) from host sizes
+    (seed/frontier counts at init — any size estimate works).
+
+    Static — rather than re-counted per round — so a URL's salt is STABLE
+    for the crawl's lifetime and (host_bucket, salt) can be the frontier
+    state's physical partitioning: per-round windows and delta resolves then
+    plan exchange-free against the stored layout. The schedule itself is
+    invariant to the salting scheme (phase 1 over-selects per salt; phase 2
+    picks the same per-host top-k for ANY salt assignment), so a stale
+    estimate costs only balance, never correctness. Hosts absent from the
+    table default to 1 salt."""
+    n_salts = F.least(
+        F.ceil(F.col("_n") / F.lit(float(skew_threshold))), F.lit(MAX_SALTS)
+    ).cast("int")
+    return host_counts.select(
+        "host", F.greatest(n_salts, F.lit(1)).alias("n_salts")
+    )
+
+
+def assign_salts_static(candidates: DataFrame, salts: DataFrame) -> DataFrame:
+    """Deterministic salt from the static table: pmod(xxhash64(url_norm),
+    n_salts(host)); unknown hosts → salt 0. Broadcast join — preserves the
+    input's partitioning; no exchange."""
+    return (
+        candidates.join(F.broadcast(salts), "host", "left")
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.xxhash64("url_norm"), F.coalesce(F.col("n_salts"), F.lit(1))
+            ).cast("int"),
+        )
+        .drop("n_salts")
+    )
+
+
 def per_host_topk(
     candidates: DataFrame, k_col: str = "host_budget", k_cap: int | None = None
 ) -> DataFrame:
@@ -82,9 +118,25 @@ def per_host_topk(
         .filter(bounded(F.col("_r1")))
         .drop("_r1")
     )
+    return per_host_topk_final(phase1, k_col, k_cap)
+
+
+def per_host_topk_final(
+    candidates: DataFrame, k_col: str = "host_budget", k_cap: int | None = None
+) -> DataFrame:
+    """Phase 2 alone: exact per-host top-k over an already-reduced candidate
+    set (phase-1 winners, or the output of frontier.membership_prefix_topk
+    after the exact anti-join cleared the maybe-seen rows). The k_cap
+    literal conjunct keeps the WindowGroupLimit bounded-sort operator."""
+    def bounded(rn_col):
+        cond = rn_col <= F.col(k_col)
+        if k_cap is not None:
+            cond = (rn_col <= F.lit(int(k_cap))) & cond
+        return cond
+
     w2 = Window.partitionBy("host").orderBy(*order_cols())
     return (
-        phase1.withColumn("_r2", F.row_number().over(w2))
+        candidates.withColumn("_r2", F.row_number().over(w2))
         .filter(bounded(F.col("_r2")))
         .drop("_r2")
     )

@@ -1,0 +1,148 @@
+"""The fused scheduler-layout round (bench_round.one_round_fused +
+frontier.membership_prefix_topk) must produce the EXACT same schedule as the
+classic two-exchange round — the guarded-prefix pre-selection is an exact
+superset of the per-host top-budget for any salt assignment, and the final
+window re-ranks it identically.
+
+Also pins the physical properties the fused path exists for: the within-batch
+dedup plans exchange-free on the (host_bucket, salt) layout, and the pandas
+pass sees only the thin numeric projection.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from spiderspark.bench import frontier_urls_dist
+from spiderspark.bench_round import one_round, one_round_fused
+from spiderspark.frontier import (
+    SketchRef,
+    host_bucket_col,
+    membership_prefix_topk,
+    seeds_to_frontier,
+    write_sketch_delta,
+)
+from spiderspark.politeness import HostPolicy
+from spiderspark.schedule import assign_salts_static, static_salt_table
+from spiderspark.state import SegmentedTable
+
+
+N_BUCKETS = 4
+
+
+@pytest.fixture(scope="module")
+def setup(spark):
+    n = 30_000
+    par = spark.sparkContext.defaultParallelism
+    in_dir = tempfile.mkdtemp(prefix="fusedtest-")
+    frontier_urls_dist(spark, n, par).write.parquet(f"{in_dir}/raw")
+    seeds_to_frontier(
+        spark, frontier_urls_dist(spark, n // 3, par), batch_id=0
+    ).select("url_hash", "url_norm", "host").withColumn(
+        "first_batch", F.lit(0).cast("long")
+    ).write.parquet(f"{in_dir}/seen")
+    raw = spark.read.parquet(f"{in_dir}/raw")
+    seen_full = spark.read.parquet(f"{in_dir}/seen")
+    seen_table = SegmentedTable.from_df(
+        seen_full.select("url_hash", "first_batch"), n_parts=N_BUCKETS
+    )
+    salts = static_salt_table(
+        seeds_to_frontier(spark, raw, batch_id=0)
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_n")),
+        skew_threshold=2_000,  # small → the heavy hosts really get salted
+    ).localCheckpoint(eager=True)
+    policy = HostPolicy(default_budget=40.0)
+
+    sk_classic = write_sketch_delta(
+        seen_table.segments[0],
+        f"{in_dir}/sk_c",
+        SketchRef.create(N_BUCKETS, 8192, 0.01),
+        assume_keyed_layout=True,
+    )
+    seen_hb = assign_salts_static(
+        seen_full.withColumn("host_bucket", host_bucket_col(F.col("host"))), salts
+    ).repartition(N_BUCKETS, "host_bucket", "salt")
+    sk_fused = write_sketch_delta(
+        seen_hb,
+        f"{in_dir}/sk_f",
+        SketchRef.create(N_BUCKETS, 8192, 0.01, routing=("host_bucket", "salt")),
+        assume_keyed_layout=True,
+    )
+    return {
+        "raw": raw,
+        "seen_table": seen_table,
+        "salts": salts,
+        "policy": policy,
+        "sk_classic": sk_classic,
+        "sk_fused": sk_fused,
+        "delta_root": tempfile.mkdtemp(prefix="fusedtest-delta-"),
+    }
+
+
+def test_fused_schedule_identical_to_classic(spark, setup):
+    rc = one_round(
+        spark, setup["raw"], setup["seen_table"], setup["sk_classic"],
+        setup["policy"], N_BUCKETS, setup["delta_root"],
+    )
+    rf = one_round_fused(
+        spark, setup["raw"], setup["seen_table"], setup["sk_fused"],
+        setup["policy"], N_BUCKETS, setup["delta_root"], setup["salts"],
+    )
+    assert rc["n_scheduled"] == rf["n_scheduled"] > 0
+    assert rc["schedule_digest"] == rf["schedule_digest"]
+
+
+def test_fused_dedup_plans_exchange_free(spark, setup):
+    """On the (host_bucket, salt) layout the within-batch dedup groupBy must
+    not insert an exchange (superset grouping keys)."""
+    from spiderspark.frontier import dedup_within_batch
+
+    keyed = (
+        assign_salts_static(
+            seeds_to_frontier(spark, setup["raw"], batch_id=0), setup["salts"]
+        )
+        .repartition(N_BUCKETS, "host_bucket", "salt")
+    )
+    deduped = dedup_within_batch(keyed, extra_keys=("host_bucket", "salt"))
+    plan = deduped._jdf.queryExecution().executedPlan().toString()
+    # exactly the one repartition exchange; none added by the groupBy
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_membership_prefix_topk_superset_and_no_false_negatives(spark, setup):
+    """Every truly-unseen row within its host's budget must survive the
+    fused pre-selection (kept ∖ seen ⊇ true top-budget per host)."""
+    from spiderspark.frontier import anti_join_seen, dedup_within_batch
+    from spiderspark.politeness import join_host_state
+    from spiderspark.schemas import HOST_STATE
+    from pyspark.sql import Window
+
+    keyed = dedup_within_batch(
+        assign_salts_static(
+            seeds_to_frontier(spark, setup["raw"], batch_id=0), setup["salts"]
+        ).repartition(N_BUCKETS, "host_bucket", "salt"),
+        extra_keys=("host_bucket", "salt"),
+    ).localCheckpoint(eager=True)
+    budgeted = join_host_state(
+        keyed, spark.createDataFrame([], HOST_STATE), setup["policy"]
+    ).filter(F.col("host_budget") > 0)
+    kept = membership_prefix_topk(budgeted, setup["sk_fused"])
+
+    # ground truth: exact top-budget per host over the exactly-deduped set
+    seen_df = setup["seen_table"].segments[0]
+    w = Window.partitionBy("host").orderBy(
+        "priority", "depth", "discovered_batch", "url_hash"
+    )
+    truth = (
+        anti_join_seen(budgeted, seen_df)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("host_budget"))
+        .select("url_hash")
+    )
+    missing = truth.join(kept.select("url_hash"), "url_hash", "left_anti").count()
+    assert missing == 0
+    # and the pre-selection actually cuts (sanity that it's not a no-op)
+    assert kept.count() < keyed.count()
