@@ -41,6 +41,8 @@ from .frontier import (
     compact_sketch,
     dedup_against_seen,
     dedup_within_batch,
+    host_bucket_col,
+    membership_prefix_topk,
     seeds_to_frontier,
     sketch_df,
     with_canonical,
@@ -54,10 +56,22 @@ from .politeness import (
     robots_gate,
     update_host_state,
 )
-from .schedule import assign_salts, per_host_topk, to_schedule
+from .schedule import (
+    assign_salts_static,
+    per_host_topk,
+    per_host_topk_final,
+    static_salt_table,
+    to_schedule,
+)
 from .schemas import FRONTIER, HOST_STATE, SEEN
 from .snapshots import SnapshotStore
 from .state import SegmentedTable, materialize_keyed, resolve_frontier_delta
+
+# the frontier's physical partitioning: both columns are pure functions of
+# the canonical url, so (FRONTIER_KEY..., url_hash) is a consistent compound
+# identity and every per-round window/join over the stored layout plans
+# exchange-free (see docs/PLANS.md "Scheduler layout")
+FRONTIER_KEY = ("host_bucket", "salt")
 
 
 @dataclass(frozen=True)
@@ -91,6 +105,12 @@ class CrawlState:
     batch_id: int
     workdir: str
     k_cap: int
+    # per-crawl STATIC (host, n_salts) table: salt must be a stable function
+    # of the url for the crawl's lifetime so (host_bucket, salt) can be the
+    # frontier's physical partitioning AND the sketch routing. The schedule
+    # is invariant to the salting scheme, so a stale size estimate costs
+    # balance, never correctness. Re-salting requires a sketch rebuild.
+    salts: DataFrame | None = None
     snapshot_id: int | None = None
 
 
@@ -130,11 +150,23 @@ def init_state(
     # be scheduled (robots is static per crawl), so keeping them would grow
     # frontier state unboundedly with re-gated dead rows
     rows = insertion_gate(seeds_to_frontier(spark, seeds, batch_id=0), host_state)
+    # static salt table from the seed host distribution (any size estimate
+    # is schedule-invariant; late-heavy hosts cost balance only)
+    salts = _materialize(
+        static_salt_table(
+            rows.groupBy("host").agg(F.count(F.lit(1)).alias("_n")),
+            config.skew_threshold,
+        )
+    )
+    rows = assign_salts_static(rows, salts)
     frontier = SegmentedTable.from_df(
-        dedup_within_batch(_frontier_cols(rows)), n_parts=n
+        dedup_within_batch(_frontier_cols(rows)), n_parts=n, key=FRONTIER_KEY
     )
     sketch = (
-        SketchRef.create(n, config.bloom_capacity_per_bucket, config.bloom_fpp)
+        SketchRef.create(
+            n, config.bloom_capacity_per_bucket, config.bloom_fpp,
+            routing=FRONTIER_KEY,
+        )
         if config.use_bloom
         else None
     )
@@ -150,6 +182,7 @@ def init_state(
         batch_id=0,
         workdir=tempfile.mkdtemp(prefix="spiderspark-state-"),
         k_cap=k_cap,
+        salts=salts,
     )
 
 
@@ -179,26 +212,53 @@ def crawl_round(
     batch_id = state.batch_id + 1
     n = config.state_buckets
 
-    # 1-3. dedup: distributed-sketch pre-filter + exact anti join against
-    #      seen (big frontier segments never exchanged). Materialized once;
-    #      the scheduling path below consumes it several times.
-    handles: list[DataFrame] = []
-    candidates = _materialize(
-        dedup_against_seen(
-            spark, state.frontier, state.seen, state.sketch, persist_handles=handles
+    # 1-4. dedup + politeness + per-host budget selection.
+    #
+    # Sketch path (the scale path): politeness/robots gate each stored
+    # segment in place (broadcast joins — layout preserved), then ONE
+    # partition-local pass fuses bloom membership with the exact guarded-
+    # prefix budget pre-selection (frontier.membership_prefix_topk) — the
+    # big frontier segments are never exchanged AND never fully ranked;
+    # only the O(hosts × budget) kept set moves: the maybe-seen sliver to
+    # the seen layout for the exact anti-join, the survivors into the final
+    # per-host window. k_cap is a config-constant literal (max capacity
+    # never grows past init) → WindowGroupLimit bounds the final sort.
+    use_fused = state.sketch is not None and len(state.sketch.paths) > 0
+    if use_fused:
+        survivor_parts = []
+        for seg in state.frontier.segments:
+            budgeted = join_host_state(seg, state.host_state, config.policy)
+            gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+            kept = _materialize(membership_prefix_topk(gated, state.sketch))
+            definite = kept.filter(~F.col("_maybe")).drop("_maybe")
+            sliver = (
+                kept.filter(F.col("_maybe"))
+                .drop("_maybe")
+                .repartition(state.seen.n_parts, "url_hash")
+            )
+            survivor_parts.append(
+                definite.unionByName(state.seen.anti_probe(sliver))
+            )
+        survivors = survivor_parts[0]
+        for p in survivor_parts[1:]:
+            survivors = survivors.unionByName(p)
+        selected = per_host_topk_final(survivors, "host_budget", k_cap=state.k_cap)
+    else:
+        # exact-tier-only fallback (use_bloom=False, or round 1 before any
+        # delta exists): candidates pay one O(candidates) exchange to the
+        # seen layout for the anti-join, then the classic two-phase window
+        handles: list[DataFrame] = []
+        candidates = _materialize(
+            dedup_against_seen(
+                spark, state.frontier, state.seen, state.sketch,
+                persist_handles=handles,
+            )
         )
-    )
-    for h in handles:
-        h.unpersist()
-
-    # 4. politeness + robots + budget, heavy-host salting, per-host top-k.
-    #    k_cap is a config-constant literal (max capacity never grows past
-    #    init: new hosts get the default policy) → WindowGroupLimit bounds
-    #    the top-k sorts without a per-round collect.
-    budgeted = join_host_state(candidates, state.host_state, config.policy)
-    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    salted = assign_salts(gated, config.skew_threshold)
-    selected = per_host_topk(salted, "host_budget", k_cap=state.k_cap)
+        for h in handles:
+            h.unpersist()
+        budgeted = join_host_state(candidates, state.host_state, config.policy)
+        gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+        selected = per_host_topk(gated, "host_budget", k_cap=state.k_cap)
 
     # 5. deterministic total order → the round's schedule (the invariant unit)
     schedule = to_schedule(selected, batch_id, materialize=_materialize)
@@ -265,45 +325,67 @@ def crawl_round(
     )
     seen = state.seen.append(newly_seen_seg).maybe_compact(config.max_segments)
 
-    from .frontier import host_bucket_col
-
     requeued = fetched.filter(~done_cond).select(
         "url",
         "url_norm",
         "url_hash",
         "host",
         host_bucket_col(F.col("host")).alias("host_bucket"),
-        F.lit(0).cast("int").alias("salt"),
         "priority",
         "depth",
         F.lit(batch_id).cast("long").alias("discovered_batch"),
         (F.col("attempt") + 1).cast("int").alias("attempt"),
     )
-    delta = (
-        _frontier_cols(new_frontier_rows)
-        .unionByName(_frontier_cols(requeued))
-        .repartition(n, "url_hash")
+    # delta rows get their STABLE salt (function of url_norm + the static
+    # table — a requeued url lands back in exactly its old (hb, salt) slot)
+    delta = assign_salts_static(
+        new_frontier_rows.select(
+            *[c for c in FRONTIER.fieldNames() if c != "salt"]
+        ).unionByName(requeued),
+        state.salts,
     )
-    delta = dedup_within_batch(delta)  # keyed input → no extra exchange
+    # delta is O(discovered + requeued): it pays two small exchanges — the
+    # url_hash layout for the within-batch dedup + seen anti-probe, then the
+    # frontier (hb, salt) layout for the resolve. The big tables never move.
+    delta = dedup_within_batch(
+        _frontier_cols(delta).repartition(n, "url_hash")
+    )
     delta = insertion_gate(delta, state.host_state)  # never insert dead rows
     delta = materialize_keyed(
-        seen.anti_probe(_frontier_cols(delta)), repartition=False
+        seen.anti_probe(_frontier_cols(delta)),
+        n_parts=n,
+        key=FRONTIER_KEY,
+        sort=state.frontier.sort_cols,
     )
 
-    sched_keys = schedule.select("url_hash").repartition(n, "url_hash")
+    # schedule removal: anti-probe each stored segment with the scheduled
+    # keys brought into the frontier layout — co-partitioned, zero exchange
+    # and zero sort on the stored side (segments are sorted on join_cols)
+    sched_keys = (
+        assign_salts_static(
+            schedule.select(
+                "url_hash", "url_norm", "host",
+                host_bucket_col(F.col("host")).alias("host_bucket"),
+            ),
+            state.salts,
+        )
+        .select(*state.frontier.join_cols)
+        .repartition(n, *state.frontier.keys)
+    )
     remaining = SegmentedTable(
         tuple(
-            seg.join(sched_keys, "url_hash", "left_anti")
+            seg.join(sched_keys, state.frontier.join_cols, "left_anti")
             for seg in state.frontier.segments
         ),
         n_parts=n,
+        key=state.frontier.key,
     )
     updated_plans, winners = resolve_frontier_delta(remaining, delta)
     segments = [materialize_keyed(p, repartition=False) for p in updated_plans]
     segments.append(materialize_keyed(winners, repartition=False))
-    frontier = SegmentedTable(tuple(segments), n_parts=n).maybe_compact(
-        config.max_segments
-    )
+    frontier = SegmentedTable(
+        tuple(segments), n_parts=n, key=state.frontier.key
+    ).maybe_compact(config.max_segments)
 
     # 9. sketch': fold this round's newly-seen keys in as a bucket-
     #    partitioned delta directory (partition-local partial filters; the
@@ -317,8 +399,20 @@ def crawl_round(
     # cheap partition-local scan.
     if sketch is not None and not newly_seen_seg.isEmpty():
         path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
+        # keys routed by their TRUE (host_bucket, salt) — the same routing a
+        # future frontier row for the url will carry into its membership task
+        newly_for_sketch = (
+            assign_salts_static(
+                fetched.filter(done_cond).select(
+                    "url_hash", "url_norm", "host",
+                    host_bucket_col(F.col("host")).alias("host_bucket"),
+                ),
+                state.salts,
+            )
+            .repartition(n, *sketch.routing)
+        )
         sketch = write_sketch_delta(
-            newly_seen_seg, path, sketch, assume_keyed_layout=True
+            newly_for_sketch, path, sketch, assume_keyed_layout=True
         )
         if len(sketch.paths) > config.max_segments:
             old_paths = sketch.paths
@@ -345,6 +439,7 @@ def crawl_round(
         batch_id=batch_id,
         workdir=state.workdir,
         k_cap=state.k_cap,
+        salts=state.salts,
     )
 
     if store is not None:
@@ -367,6 +462,8 @@ def commit_state(
         "schedule": schedule,
         "fetch_log": fetch_log,
     }
+    if state.salts is not None:
+        tables["salt_table"] = state.salts
     partition_by = {}
     if state.sketch is not None:
         tables["seen_sketch"] = sketch_df(spark, state.sketch)
@@ -390,32 +487,47 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
     if config.use_bloom and "seen_sketch" in m["tables"]:
         path = store.table_path(snapshot_id, "seen_sketch")
         first = spark.read.parquet(path).select(
-            "n_bits", "n_hashes", "n_buckets"
+            "n_bits", "n_hashes", "n_buckets", "routing"
         ).head(1)
         if first:
             stored_nb = int(first[0]["n_buckets"])
-            # bucket routing is pmod(hash(url_hash), n_buckets): resuming
+            # bucket routing is pmod(hash(routing cols), n_buckets): resuming
             # under a different bucket count would read the WRONG bits —
-            # silent false negatives. Fail loudly instead.
+            # silent false negatives. Fail loudly instead. The routing column
+            # list rides the rows for the same reason.
             assert stored_nb == n, (
                 f"snapshot sketch has n_buckets={stored_nb} but "
                 f"config.state_buckets={n}; resume with the original value"
             )
             sketch = SketchRef(
-                (path,), stored_nb, int(first[0]["n_bits"]), int(first[0]["n_hashes"])
+                (path,),
+                stored_nb,
+                int(first[0]["n_bits"]),
+                int(first[0]["n_hashes"]),
+                tuple(first[0]["routing"].split(",")),
             )
         else:
             sketch = SketchRef.create(
-                n, config.bloom_capacity_per_bucket, config.bloom_fpp
+                n, config.bloom_capacity_per_bucket, config.bloom_fpp,
+                routing=FRONTIER_KEY,
             )
     host_state = _materialize(store.read(spark, snapshot_id, "host_state"))
     caps = host_state.agg(F.max("capacity").alias("m")).collect()
     k_cap = int(
         max(config.policy.default_budget, (caps[0]["m"] or 0) if caps else 0)
     )
+    salts = (
+        _materialize(store.read(spark, snapshot_id, "salt_table"))
+        if "salt_table" in m["tables"]
+        else _materialize(
+            spark.createDataFrame([], "host string, n_salts int")
+        )
+    )
     return CrawlState(
         frontier=SegmentedTable.from_df(
-            store.read(spark, snapshot_id, "frontier"), n_parts=n
+            store.read(spark, snapshot_id, "frontier"),
+            n_parts=n,
+            key=FRONTIER_KEY,
         ),
         seen=SegmentedTable.from_df(store.read(spark, snapshot_id, "seen"), n_parts=n),
         host_state=host_state,
@@ -423,6 +535,7 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
         batch_id=int(m["batch_id"]),
         workdir=tempfile.mkdtemp(prefix="spiderspark-state-"),
         k_cap=k_cap,
+        salts=salts,
         snapshot_id=snapshot_id,
     )
 

@@ -187,12 +187,13 @@ def sketch_bucket_col(n_buckets: int, *cols: str) -> Column:
 
 _PARTIAL_SCHEMA = (
     "bucket int, kind string, bits binary, n_bits long, n_hashes int, "
-    "n_buckets int"
-)  # n_buckets rides every row: routing = pmod(hash(key), n_buckets), so a
-# resume under a DIFFERENT bucket count must fail loudly, not read wrong bits
+    "n_buckets int, routing string"
+)  # n_buckets AND the routing column list ride every row: bucket =
+# pmod(hash(routing cols), n_buckets), so a resume under a DIFFERENT bucket
+# count or routing must fail loudly, not read wrong bits
 
 
-def _partials_fn(n_bits: int, n_hashes: int, n_buckets: int):
+def _partials_fn(n_bits: int, n_hashes: int, n_buckets: int, routing: str = "url_hash"):
     def partials(batches):
         # one partial Bloom per bucket present in THIS partition — with
         # bucket-aligned input each partition holds exactly one bucket, so
@@ -218,6 +219,7 @@ def _partials_fn(n_bits: int, n_hashes: int, n_buckets: int):
                     "n_bits": np.int64(n_bits),
                     "n_hashes": np.int32(n_hashes),
                     "n_buckets": np.int32(n_buckets),
+                    "routing": routing,
                 }
             )
 
@@ -239,7 +241,7 @@ def sketch_partial_rows(
     if not assume_keyed_layout:
         keyed = keyed.repartition(ref.n_buckets, "_bucket")
     return keyed.mapInPandas(
-        _partials_fn(ref.n_bits, ref.n_hashes, ref.n_buckets),
+        _partials_fn(ref.n_bits, ref.n_hashes, ref.n_buckets, ",".join(ref.routing)),
         schema=_PARTIAL_SCHEMA,
     )
 
@@ -280,6 +282,7 @@ def sketch_df(spark, ref: SketchRef) -> DataFrame:
                 F.col("n_bits").cast("long"),
                 F.col("n_hashes").cast("int"),
                 F.col("n_buckets").cast("int"),
+                F.col("routing"),
             )
         )
     if not dfs:
@@ -308,6 +311,7 @@ def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
                 "n_bits": np.int64(ref.n_bits),
                 "n_hashes": np.int32(ref.n_hashes),
                 "n_buckets": np.int32(ref.n_buckets),
+                "routing": ",".join(ref.routing),
             }
         )
 

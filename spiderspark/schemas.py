@@ -59,9 +59,12 @@ SEEN_SKETCH = T.StructType(
         T.StructField("bits", T.BinaryType(), False),
         T.StructField("n_bits", T.LongType(), False),
         T.StructField("n_hashes", T.IntegerType(), False),
-        # routing modulus rides every row so resume can refuse a mismatched
-        # config (pmod(hash(url_hash), n_buckets) must match what was built)
+        # routing modulus AND routing columns ride every row so resume can
+        # refuse a mismatched config (bucket = pmod(hash(routing cols),
+        # n_buckets) must match what was built — wrong routing would read
+        # the wrong bits: silent false negatives)
         T.StructField("n_buckets", T.IntegerType(), False),
+        T.StructField("routing", T.StringType(), False),
     ]
 )
 

@@ -41,11 +41,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def materialize_keyed(
     df: DataFrame,
     n_parts: int | None = None,
-    key: str = "url_hash",
+    key: str | tuple[str, ...] = "url_hash",
     repartition: bool = True,
+    sort: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Eagerly materialize ``df`` in the keyed layout, keeping the layout
     visible to the planner.
+
+    ``key`` may be a single column or a tuple (e.g. the scheduler layout
+    ``("host_bucket", "salt")``). ``sort`` defaults to the key columns;
+    pass a superset (e.g. key + ("url_hash",)) so later sort-merge joins on
+    those columns skip their sorts too.
 
     ``repartition=False`` is for plans whose output is ALREADY in the layout
     (e.g. a co-partitioned SMJ or a broadcast-anti over a stored segment):
@@ -53,9 +59,10 @@ def materialize_keyed(
     all — the repeat-round fast path.
     """
     spark = df.sparkSession
+    keys = (key,) if isinstance(key, str) else tuple(key)
     if repartition:
         assert n_parts is not None
-        df = df.repartition(n_parts, key).sortWithinPartitions(key)
+        df = df.repartition(n_parts, *keys).sortWithinPartitions(*(sort or keys))
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -67,21 +74,52 @@ def materialize_keyed(
 @dataclass(frozen=True)
 class SegmentedTable:
     """An immutable list of key-disjoint DataFrame segments, all in the
-    ``materialize_keyed`` layout with the same ``n_parts``."""
+    ``materialize_keyed`` layout with the same ``n_parts``.
+
+    ``key`` is the PARTITIONING column(s); ``id_col`` is the row-identity
+    column probes and resolves match on (url_hash). For the url_hash layout
+    they coincide; the scheduler layout partitions on (host_bucket, salt) —
+    both pure functions of the url — and joins on (key..., id_col), which
+    Catalyst proves exchange-free against the stored layout."""
 
     segments: tuple[DataFrame, ...]
     n_parts: int
-    key: str = "url_hash"
+    key: str | tuple[str, ...] = "url_hash"
+    id_col: str = "url_hash"
+
+    @property
+    def keys(self) -> tuple[str, ...]:
+        return (self.key,) if isinstance(self.key, str) else tuple(self.key)
+
+    @property
+    def join_cols(self) -> list[str]:
+        ks = list(self.keys)
+        return ks if self.id_col in ks else ks + [self.id_col]
+
+    @property
+    def sort_cols(self) -> tuple[str, ...]:
+        return tuple(self.join_cols)
 
     @classmethod
-    def empty(cls, n_parts: int, key: str = "url_hash") -> "SegmentedTable":
-        return cls(segments=(), n_parts=n_parts, key=key)
+    def empty(
+        cls,
+        n_parts: int,
+        key: str | tuple[str, ...] = "url_hash",
+        id_col: str = "url_hash",
+    ) -> "SegmentedTable":
+        return cls(segments=(), n_parts=n_parts, key=key, id_col=id_col)
 
     @classmethod
     def from_df(
-        cls, df: DataFrame, n_parts: int, key: str = "url_hash"
+        cls,
+        df: DataFrame,
+        n_parts: int,
+        key: str | tuple[str, ...] = "url_hash",
+        id_col: str = "url_hash",
     ) -> "SegmentedTable":
-        return cls((materialize_keyed(df, n_parts, key),), n_parts, key)
+        out = cls((), n_parts, key, id_col)
+        seg = materialize_keyed(df, n_parts, key, sort=out.sort_cols)
+        return cls((seg,), n_parts, key, id_col)
 
     def df(self, spark: SparkSession, schema) -> DataFrame:
         """The whole table as one DataFrame (commit/read paths; loses the
@@ -98,19 +136,22 @@ class SegmentedTable:
         return sum(seg.count() for seg in self.segments)
 
     def anti_probe(self, small: DataFrame) -> DataFrame:
-        """``small`` minus rows whose key appears in ANY segment.
+        """``small`` minus rows whose identity appears in ANY segment.
 
         ``small`` must already be hash-partitioned by the key at ``n_parts``
         (left-anti preserves the left layout, so the chain stays
         co-partitioned; each big segment is probed with zero exchange and
         zero sort on its side)."""
+        cols = self.join_cols
         for seg in self.segments:
-            small = small.join(seg.select(self.key), self.key, "left_anti")
+            small = small.join(seg.select(*cols), cols, "left_anti")
         return small
 
     def append(self, seg: DataFrame) -> "SegmentedTable":
         """Add an already-materialized, key-disjoint segment."""
-        return SegmentedTable(self.segments + (seg,), self.n_parts, self.key)
+        return SegmentedTable(
+            self.segments + (seg,), self.n_parts, self.key, self.id_col
+        )
 
     def maybe_compact(self, max_segments: int) -> "SegmentedTable":
         """Fold back to one segment when the list grows past
@@ -120,8 +161,8 @@ class SegmentedTable:
         merged = self.segments[0]
         for seg in self.segments[1:]:
             merged = merged.unionByName(seg)
-        seg = materialize_keyed(merged, self.n_parts, self.key)
-        return SegmentedTable((seg,), self.n_parts, self.key)
+        seg = materialize_keyed(merged, self.n_parts, self.key, sort=self.sort_cols)
+        return SegmentedTable((seg,), self.n_parts, self.key, self.id_col)
 
 
 def ord_struct(prefix: str = "") -> F.Column:
@@ -147,22 +188,21 @@ def resolve_frontier_delta(
     tie is impossible for distinct rows: ``url`` + ``attempt`` total-order
     the struct).
     """
-    d_keys = delta.select(
-        F.col(table.key), ord_struct().alias("_ord_d")
-    )
+    cols = table.join_cols
+    d_keys = delta.select(*cols, ord_struct().alias("_ord_d"))
     updated = []
     for seg in table.segments:
         updated.append(
             seg.withColumn("_ord", ord_struct())
-            .join(d_keys, table.key, "left")
+            .join(d_keys, cols, "left")
             .filter(F.col("_ord_d").isNull() | (F.col("_ord") <= F.col("_ord_d")))
             .drop("_ord", "_ord_d")
         )
     winners = delta.withColumn("_ord_d", ord_struct())
     flags = []
     for i, seg in enumerate(table.segments):
-        s = seg.select(F.col(table.key), ord_struct().alias(f"_ord_s{i}"))
-        winners = winners.join(s, table.key, "left")
+        s = seg.select(*cols, ord_struct().alias(f"_ord_s{i}"))
+        winners = winners.join(s, cols, "left")
         flags.append(
             F.col(f"_ord_s{i}").isNull() | (F.col("_ord_d") < F.col(f"_ord_s{i}"))
         )
