@@ -133,20 +133,33 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     ).withColumn("bucket", bucket_udf("n_vec"))
 
-    # queries probe their own bucket + each 1-bit-flip neighbor bucket
-    qrows = queries_df.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in qrows:
-        v = np.asarray(r[1], dtype=np.float64)
-        key = int(((v @ planes) > 0).dot(1 << np.arange(n_planes)))
-        buckets = {key} | {key ^ (1 << i) for i in range(n_planes)}
-        for bkt in buckets:
-            probe_rows.append((int(r[0]), list(map(float, v)), int(bkt)))
-    probes = spark.createDataFrame(
-        probe_rows, "q_id long, q_vec array<double>, bucket int"
+    # queries probe their own bucket + each 1-bit-flip neighbor bucket.
+    # Query bucketing runs through the SAME distributed UDF as the corpus
+    # and multi-probe expansion is a JVM explode — no driver-side collect,
+    # so the query set may itself be a large table (it shuffles only as the
+    # small side of the bucket equi-join).
+    probes = (
+        queries_df.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("_b0", bucket_udf("q_vec"))
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.col("_b0"),
+                    *[
+                        F.col("_b0").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ),
+        )
+        .drop("_b0")
     )
 
-    joined = corpus_b.join(F.broadcast(probes), "bucket")
+    joined = corpus_b.join(probes, "bucket")  # AQE broadcasts a small side
     cos = (
         F.aggregate(
             F.zip_with(
@@ -243,18 +256,26 @@ def ivf_topk(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")
     ).withColumn("list_id", list_udf("n_vec"))
 
-    probe_rows = []
-    for r in queries_df.select(id_col, vec_col).collect():
-        v = np.asarray(r[1], dtype=np.float64)
-        vn = v / max(np.linalg.norm(v), 1e-12)
-        order = np.argsort(-(vn @ cents.T), kind="stable")[:n_probe]
-        for lid in order:
-            probe_rows.append((int(r[0]), [float(x) for x in v], int(lid)))
-    probes = spark.createDataFrame(
-        probe_rows, "q_id long, q_vec array<double>, list_id int"
+    # query probes via the same distributed centroid assignment (top-n_probe
+    # nearest lists per query, stable order) + a JVM posexplode — no driver
+    # collect of the query set; only the small centroid matrix is broadcast
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists_udf(vec: pd.Series) -> pd.Series:
+        c = bc_cents.value
+        m = np.array(vec.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ c.T), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    probes = (
+        queries_df.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+        )
+        .withColumn("list_id", F.explode(probe_lists_udf("q_vec")))
     )
 
-    joined = corpus_l.join(F.broadcast(probes), "list_id")
+    joined = corpus_l.join(probes, "list_id")  # AQE broadcasts a small side
     dot = F.aggregate(
         F.zip_with(F.col("n_vec").cast("array<double>"), "q_vec", lambda x, y: x * y),
         F.lit(0.0),

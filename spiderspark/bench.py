@@ -446,10 +446,10 @@ the same scheduling+dedup job, same deterministic input
 ({res['n_frontier']:,} frontier URLs, Zipf hosts, canonicalization noise,
 1/3 pre-seen), at two local parallelism levels in fresh JVMs.
 
-| cores | frontier URLs/s | wall s |
-| --- | --- | --- |
-| 8  | {r_lo['value']:,} | {r_lo['headline_wall_sec']} |
-| 32 | {r_hi['value']:,} | {r_hi['headline_wall_sec']} |
+| cores | frontier URLs/s | wall s | canon+dedup s | schedule s | sketch delta s |
+| --- | --- | --- | --- | --- | --- |
+| 8  | {r_lo['value']:,} | {r_lo['headline_wall_sec']} | {r_lo['detail'].get('canon_dedup_s', '-')} | {r_lo['detail'].get('schedule_s', '-')} | {r_lo['detail'].get('sketch_delta_s', '-')} |
+| 32 | {r_hi['value']:,} | {r_hi['headline_wall_sec']} | {r_hi['detail'].get('canon_dedup_s', '-')} | {r_hi['detail'].get('schedule_s', '-')} | {r_hi['detail'].get('sketch_delta_s', '-')} |
 
 **Scaling efficiency (8 → 32 cores, 4×): {res['value']}** (criterion ≥ 0.8).
 
@@ -475,11 +475,13 @@ holds across cluster sizes.
   broadcast join with zero exchange and zero sort on the stored side —
   repeat-round network is O(delta + schedule), not O(state); see the
   per-round shuffle_write_mb evidence in the crawl-loop bench.
-- The exact dedup tier shuffles only 8-byte url_hash keys, and only for the
-  "maybe-seen" bloom survivors (~1% of new URLs + true dups).
-- The top-k exchange ranks a THIN projection (no url strings) and
-  broadcast-semi-joins winners back — the biggest remaining per-round
-  shuffle moves ~5× fewer bytes.
+- The exact dedup tier shuffles only the "maybe-seen" sliver of the
+  budget-preselected kept set (bloom fp rate + true dups of the winners).
+- The full-candidate (host, salt) window exchange NO LONGER EXISTS: the
+  frontier is stored in the scheduler layout (host_bucket, salt — salt from
+  the per-crawl static table) and one partition-local pass fuses membership
+  with an exact per-host budget pre-selection; only the O(hosts × budget)
+  kept set reaches the final window (docs/PLANS.md "Scheduler layout").
 - All per-URL string work (RFC-3986 canonicalize, text extraction) is
   Arrow-vectorized pandas UDFs: one JVM↔Python crossing per batch per round.
 """)

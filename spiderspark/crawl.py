@@ -87,6 +87,9 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     skew_threshold: int = 50_000
     use_bloom: bool = True
+    # approximate-tier filter family: "bloom" (default) or "cuckoo" (adds
+    # deletion for re-crawl-after-TTL deployments; see sketch.CuckooFilter)
+    sketch_kind: str = "bloom"
     max_depth: int = 64
     # reference parity: failed lookups are re-queued (SURVEY.md §0.3.5);
     # a URL is retried until it has been scheduled max_attempts times, then
@@ -94,6 +97,13 @@ class CrawlConfig:
     max_attempts: int = 2
     # LSM knobs: segments/delta-dirs allowed before the amortized compaction
     max_segments: int = 4
+    # durable_state=True routes every state-segment materialization through
+    # bucketed parquet tables (state.materialize_keyed_durable) instead of
+    # localCheckpoint executor blocks: the layout contract survives the disk
+    # roundtrip AND any executor loss — the cluster fault-tolerance mode.
+    # In-sandbox the in-memory fast path stays the default (no disk write
+    # per round). See docs/PLANS.md "State layout".
+    durable_state: bool = False
 
 
 @dataclass
@@ -130,6 +140,25 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _keyed_mat(config: CrawlConfig, workdir: str):
+    """The state-segment materializer for this crawl: in-memory layout pin
+    (default fast path) or durable bucketed tables (fault-tolerant mode)."""
+    if not config.durable_state:
+        def mat(df, n_parts=None, key="url_hash", repartition=True, sort=None):
+            return materialize_keyed(df, n_parts, key, repartition, sort)
+        return mat
+    from .state import materialize_keyed_durable
+
+    base = os.path.join(workdir, "segments")
+
+    def mat(df, n_parts=None, key="url_hash", repartition=True, sort=None):
+        return materialize_keyed_durable(
+            df, n_parts or config.state_buckets, key, repartition, sort, base
+        )
+
+    return mat
+
+
 def _frontier_cols(df: DataFrame) -> DataFrame:
     return df.select(*[f.name for f in FRONTIER.fields])
 
@@ -159,13 +188,19 @@ def init_state(
         )
     )
     rows = assign_salts_static(rows, salts)
-    frontier = SegmentedTable.from_df(
-        dedup_within_batch(_frontier_cols(rows)), n_parts=n, key=FRONTIER_KEY
+    workdir = tempfile.mkdtemp(prefix="spiderspark-state-")
+    frontier0 = SegmentedTable.empty(n, key=FRONTIER_KEY)
+    seg0 = _keyed_mat(config, workdir)(
+        dedup_within_batch(_frontier_cols(rows)),
+        n_parts=n,
+        key=FRONTIER_KEY,
+        sort=frontier0.sort_cols,
     )
+    frontier = frontier0.append(seg0)
     sketch = (
         SketchRef.create(
             n, config.bloom_capacity_per_bucket, config.bloom_fpp,
-            routing=FRONTIER_KEY,
+            routing=FRONTIER_KEY, kind=config.sketch_kind,
         )
         if config.use_bloom
         else None
@@ -180,7 +215,7 @@ def init_state(
         host_state=host_state,
         sketch=sketch,
         batch_id=0,
-        workdir=tempfile.mkdtemp(prefix="spiderspark-state-"),
+        workdir=workdir,
         k_cap=k_cap,
         salts=salts,
     )
@@ -317,13 +352,17 @@ def crawl_round(
     done_cond = F.col("html").isNotNull() | (
         F.col("attempt") + 1 >= F.lit(config.max_attempts)
     )
-    newly_seen_seg = materialize_keyed(
+    mat = _keyed_mat(config, state.workdir)
+    newly_seen_seg = mat(
         fetched.filter(done_cond).select(
             "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
         ),
-        n,
+        n_parts=n,
     )
-    seen = state.seen.append(newly_seen_seg).maybe_compact(config.max_segments)
+    seen = state.seen.append(newly_seen_seg).maybe_compact(
+        config.max_segments,
+        materializer=lambda df: mat(df, n_parts=n),
+    )
 
     requeued = fetched.filter(~done_cond).select(
         "url",
@@ -351,7 +390,7 @@ def crawl_round(
         _frontier_cols(delta).repartition(n, "url_hash")
     )
     delta = insertion_gate(delta, state.host_state)  # never insert dead rows
-    delta = materialize_keyed(
+    delta = mat(
         seen.anti_probe(_frontier_cols(delta)),
         n_parts=n,
         key=FRONTIER_KEY,
@@ -381,11 +420,20 @@ def crawl_round(
         key=state.frontier.key,
     )
     updated_plans, winners = resolve_frontier_delta(remaining, delta)
-    segments = [materialize_keyed(p, repartition=False) for p in updated_plans]
-    segments.append(materialize_keyed(winners, repartition=False))
+    f_sort = state.frontier.sort_cols
+    segments = [
+        mat(p, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort)
+        for p in updated_plans
+    ]
+    segments.append(
+        mat(winners, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort)
+    )
     frontier = SegmentedTable(
         tuple(segments), n_parts=n, key=state.frontier.key
-    ).maybe_compact(config.max_segments)
+    ).maybe_compact(
+        config.max_segments,
+        materializer=lambda df: mat(df, n_parts=n, key=FRONTIER_KEY, sort=f_sort),
+    )
 
     # 9. sketch': fold this round's newly-seen keys in as a bucket-
     #    partitioned delta directory (partition-local partial filters; the
@@ -487,7 +535,7 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
     if config.use_bloom and "seen_sketch" in m["tables"]:
         path = store.table_path(snapshot_id, "seen_sketch")
         first = spark.read.parquet(path).select(
-            "n_bits", "n_hashes", "n_buckets", "routing"
+            "n_bits", "n_hashes", "n_buckets", "routing", "kind"
         ).head(1)
         if first:
             stored_nb = int(first[0]["n_buckets"])
@@ -505,11 +553,12 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
                 int(first[0]["n_bits"]),
                 int(first[0]["n_hashes"]),
                 tuple(first[0]["routing"].split(",")),
+                str(first[0]["kind"]),
             )
         else:
             sketch = SketchRef.create(
                 n, config.bloom_capacity_per_bucket, config.bloom_fpp,
-                routing=FRONTIER_KEY,
+                routing=FRONTIER_KEY, kind=config.sketch_kind,
             )
     host_state = _materialize(store.read(spark, snapshot_id, "host_state"))
     caps = host_state.agg(F.max("capacity").alias("m")).collect()

@@ -163,6 +163,11 @@ class SketchRef:
     n_bits: int
     n_hashes: int
     routing: tuple[str, ...] = ("url_hash",)
+    # "bloom" (default: unconditional zero false negatives, bit-OR
+    # compaction) or "cuckoo" (per-delta partial-key filters: supports
+    # deletion for re-crawl-after-TTL deployments; deltas can't bit-merge,
+    # so compaction rewrites rows and membership checks each delta's filter)
+    kind: str = "bloom"
 
     @classmethod
     def create(
@@ -171,9 +176,10 @@ class SketchRef:
         capacity_per_bucket: int,
         fpp: float,
         routing: tuple[str, ...] = ("url_hash",),
+        kind: str = "bloom",
     ) -> "SketchRef":
         n_bits, n_hashes = optimal_params(max(1, capacity_per_bucket), fpp)
-        return cls((), n_buckets, n_bits, n_hashes, tuple(routing))
+        return cls((), n_buckets, n_bits, n_hashes, tuple(routing), kind)
 
 
 def sketch_bucket_col(n_buckets: int, *cols: str) -> Column:
@@ -193,12 +199,53 @@ _PARTIAL_SCHEMA = (
 # count or routing must fail loudly, not read wrong bits
 
 
-def _partials_fn(n_bits: int, n_hashes: int, n_buckets: int, routing: str = "url_hash"):
+def _partials_fn(
+    n_bits: int,
+    n_hashes: int,
+    n_buckets: int,
+    routing: str = "url_hash",
+    kind: str = "bloom",
+):
     def partials(batches):
-        # one partial Bloom per bucket present in THIS partition — with
+        # one partial filter per bucket present in THIS partition — with
         # bucket-aligned input each partition holds exactly one bucket, so
         # total partial volume is n_buckets × bucket_bits, independent of
         # parallelism (what keeps the merge from moving hundreds of GB)
+        if kind == "cuckoo":
+            # a cuckoo partial is sized to ITS keys (for_capacity headroom
+            # makes insert overflow practically impossible; an overflow
+            # still raises — never a silent drop). Schema reuse for the
+            # cuckoo geometry: n_bits := the filter's internal bucket
+            # count, n_hashes := slots per bucket.
+            from .sketch import CuckooFilter
+
+            acc: dict[int, list] = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                keys = pdf["url_hash"].to_numpy()
+                buckets = pdf["_bucket"].to_numpy()
+                for b in pd.unique(buckets):
+                    acc.setdefault(int(b), []).append(keys[buckets == b])
+            if acc:
+                rows = []
+                for b, chunks in acc.items():
+                    ks = np.concatenate(chunks)
+                    f = CuckooFilter.for_capacity(len(ks)).add(ks)
+                    rows.append((b, f.to_bytes(), f.n_buckets, f.SLOTS_PER_BUCKET))
+                yield pd.DataFrame(
+                    {
+                        "bucket": [r[0] for r in rows],
+                        "kind": "cuckoo",
+                        "bits": [r[1] for r in rows],
+                        "n_bits": np.int64([r[2] for r in rows]),
+                        "n_hashes": np.int32([r[3] for r in rows]),
+                        "n_buckets": np.int32(n_buckets),
+                        "routing": routing,
+                    }
+                )
+            return
+
         local: dict[int, Bloom] = {}
         for pdf in batches:
             if not len(pdf):
@@ -241,7 +288,10 @@ def sketch_partial_rows(
     if not assume_keyed_layout:
         keyed = keyed.repartition(ref.n_buckets, "_bucket")
     return keyed.mapInPandas(
-        _partials_fn(ref.n_bits, ref.n_hashes, ref.n_buckets, ",".join(ref.routing)),
+        _partials_fn(
+            ref.n_bits, ref.n_hashes, ref.n_buckets,
+            ",".join(ref.routing), ref.kind,
+        ),
         schema=_PARTIAL_SCHEMA,
     )
 
@@ -258,7 +308,8 @@ def write_sketch_delta(
     rows = sketch_partial_rows(keys_df, ref, assume_keyed_layout)
     rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return SketchRef(
-        ref.paths + (path,), ref.n_buckets, ref.n_bits, ref.n_hashes, ref.routing
+        ref.paths + (path,), ref.n_buckets, ref.n_bits, ref.n_hashes,
+        ref.routing, ref.kind,
     )
 
 
@@ -294,26 +345,33 @@ def sketch_df(spark, ref: SketchRef) -> DataFrame:
 
 
 def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
-    """Distributed OR-merge of all delta directories: groupBy(bucket) +
-    bit-OR (each group holds at most one row per delta — a handful), then
-    rewrite as a single bucket-partitioned directory."""
+    """Distributed compaction of all delta directories into one:
+    groupBy(bucket), then bloom rows bit-OR into a single row (each group
+    holds at most one row per delta — a handful) while cuckoo rows are
+    rewritten as-is (partial-key filters can't merge; the read path checks
+    each — same semantics, and the path LIST still collapses to one)."""
     n_words = ref.n_bits // 64
 
     def or_rows(pdf: pd.DataFrame) -> pd.DataFrame:
-        words = np.zeros(n_words, dtype=np.uint64)
-        for raw in pdf["bits"]:
-            words |= np.frombuffer(raw, dtype=np.uint64)
-        return pd.DataFrame(
-            {
-                "bucket": pdf["bucket"].iloc[:1],
-                "kind": "bloom",
-                "bits": [words.tobytes()],
-                "n_bits": np.int64(ref.n_bits),
-                "n_hashes": np.int32(ref.n_hashes),
-                "n_buckets": np.int32(ref.n_buckets),
-                "routing": ",".join(ref.routing),
-            }
-        )
+        bloom_mask = pdf["kind"] != "cuckoo"
+        out = pdf[~bloom_mask].copy()
+        if bloom_mask.any():
+            words = np.zeros(n_words, dtype=np.uint64)
+            for raw in pdf["bits"][bloom_mask]:
+                words |= np.frombuffer(raw, dtype=np.uint64)
+            merged_row = pd.DataFrame(
+                {
+                    "bucket": pdf["bucket"].iloc[:1],
+                    "kind": "bloom",
+                    "bits": [words.tobytes()],
+                    "n_bits": np.int64(ref.n_bits),
+                    "n_hashes": np.int32(ref.n_hashes),
+                    "n_buckets": np.int32(ref.n_buckets),
+                    "routing": ",".join(ref.routing),
+                }
+            )
+            out = pd.concat([merged_row, out], ignore_index=True)
+        return out
 
     merged = (
         sketch_df(spark, ref)
@@ -322,16 +380,17 @@ def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
     )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
     return SketchRef(
-        (out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes, ref.routing
+        (out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes,
+        ref.routing, ref.kind,
     )
 
 
-def _load_bucket_words(paths, bucket: int, n_words: int) -> np.ndarray:
-    """Worker-side: OR together this bucket's bit rows across all sketch
-    directories — the task touches ONLY its bucket's slices."""
+def _load_bucket_rows(paths, bucket: int):
+    """Worker-side: this bucket's (kind, bits, n_bits, n_hashes) rows across
+    all sketch directories — the task touches ONLY its bucket's slices."""
     import pyarrow.dataset as pads
 
-    words = np.zeros(n_words, dtype=np.uint64)
+    rows = []
     for p in paths:
         try:
             dset = pads.dataset(p, format="parquet", partitioning="hive")
@@ -340,15 +399,51 @@ def _load_bucket_words(paths, bucket: int, n_words: int) -> np.ndarray:
             # paths may be swallowed: any other IO/permission/corruption
             # error must fail the task (Spark retries it) — treating it as
             # "no bits" would return _maybe=False for genuinely-seen keys,
-            # a silent Bloom false negative that re-crawls URLs forever
+            # a silent false negative that re-crawls URLs forever
         if "bucket" not in dset.schema.names:
             continue
         tbl = dset.to_table(
-            filter=pads.field("bucket") == int(bucket), columns=["bits"]
+            filter=pads.field("bucket") == int(bucket),
+            columns=["kind", "bits", "n_bits", "n_hashes"],
         )
-        for raw in tbl.column("bits").to_pylist():
+        rows.extend(
+            zip(
+                tbl.column("kind").to_pylist(),
+                tbl.column("bits").to_pylist(),
+                tbl.column("n_bits").to_pylist(),
+                tbl.column("n_hashes").to_pylist(),
+            )
+        )
+    return rows
+
+
+def _bucket_membership_fn(paths, bucket: int, n_bits: int, n_hashes: int):
+    """contains(keys) -> bool array over every filter row of this bucket:
+    bloom rows are bit-OR'd into one filter (OR-equivalence); cuckoo rows
+    can't merge, so each is checked and the results OR'd — identical
+    no-false-negative semantics either way."""
+    from .sketch import CuckooFilter
+
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    any_bloom = False
+    cuckoos = []
+    for kind, raw, nb, nh in _load_bucket_rows(paths, bucket):
+        if kind == "cuckoo":
+            cuckoos.append(CuckooFilter.from_bytes(raw, int(nb)))
+        else:
             words |= np.frombuffer(raw, dtype=np.uint64)
-    return words
+            any_bloom = True
+    bloom = Bloom(n_bits, n_hashes, words) if any_bloom else None
+
+    def contains(keys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(keys), dtype=bool)
+        if bloom is not None:
+            out |= bloom.contains(keys)
+        for cf in cuckoos:
+            out |= cf.contains(keys)
+        return out
+
+    return contains
 
 
 def sketch_flag_maybe_seen(df: DataFrame, ref: SketchRef) -> DataFrame:
@@ -363,14 +458,13 @@ def sketch_flag_maybe_seen(df: DataFrame, ref: SketchRef) -> DataFrame:
     correct either way, no exchange inserted either way.
     """
     paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
-    n_words = n_bits // 64
     in_cols = df.columns
     out_schema = T.StructType(
         df.schema.fields + [T.StructField("_maybe", T.BooleanType())]
     )
 
     def membership(batches):
-        blooms: dict[int, Bloom] = {}
+        fns: dict[int, object] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -378,13 +472,13 @@ def sketch_flag_maybe_seen(df: DataFrame, ref: SketchRef) -> DataFrame:
             buckets = pdf["_bucket"].to_numpy()
             out = np.zeros(len(pdf), dtype=bool)
             for b in pd.unique(buckets):
-                f = blooms.get(int(b))
+                f = fns.get(int(b))
                 if f is None:
-                    f = blooms[int(b)] = Bloom(
-                        n_bits, n_hashes, _load_bucket_words(paths, int(b), n_words)
+                    f = fns[int(b)] = _bucket_membership_fn(
+                        paths, int(b), n_bits, n_hashes
                     )
                 mask = buckets == b
-                out[mask] = f.contains(keys[mask])
+                out[mask] = f(keys[mask])
             yield pdf[in_cols].assign(_maybe=out)
 
     return (
@@ -487,10 +581,9 @@ def membership_prefix_topk(
     (routing..., url_hash) instead — layout-satisfied on the big side.
     """
     paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
-    n_words = n_bits // 64
 
     def fn(batches):
-        blooms: dict[int, Bloom] = {}
+        fns: dict[int, object] = {}
         for pdf in batches:
             n = len(pdf)
             if not n:
@@ -499,13 +592,13 @@ def membership_prefix_topk(
             buckets = pdf["_bucket"].to_numpy()
             maybe = np.zeros(n, dtype=bool)
             for b in pd.unique(buckets):
-                f = blooms.get(int(b))
+                f = fns.get(int(b))
                 if f is None:
-                    f = blooms[int(b)] = Bloom(
-                        n_bits, n_hashes, _load_bucket_words(paths, int(b), n_words)
+                    f = fns[int(b)] = _bucket_membership_fn(
+                        paths, int(b), n_bits, n_hashes
                     )
                 m = buckets == b
-                maybe[m] = f.contains(keys[m])
+                maybe[m] = f(keys[m])
 
             order = np.lexsort(
                 (

@@ -33,9 +33,14 @@ exchange, amortized over ``max_segments`` rounds.
 
 from __future__ import annotations
 
+import itertools
+import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DURABLE_SEQ = itertools.count()
 
 
 def materialize_keyed(
@@ -69,6 +74,51 @@ def materialize_keyed(
         return df.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def materialize_keyed_durable(
+    df: DataFrame,
+    n_parts: int,
+    key: str | tuple[str, ...] = "url_hash",
+    repartition: bool = True,
+    sort: tuple[str, ...] | None = None,
+    base_dir: str = "",
+) -> DataFrame:
+    """Fault-tolerant sibling of ``materialize_keyed``: the segment is
+    written as a Spark BUCKETED parquet table instead of localCheckpoint
+    executor blocks.
+
+    Why: localCheckpoint blocks live on executors — one lost executor kills
+    a long crawl mid-round. A bucketed table survives any executor loss AND
+    keeps the layout contract through the disk roundtrip: the bucketed scan
+    reports HashPartitioning(key, n) (Spark's bucket hash IS the
+    repartition hash) and, with one file per bucket, the sortBy ordering —
+    so co-partitioned probes stay exchange-free exactly like the in-memory
+    layout. The pre-write repartition guarantees the one-file-per-bucket
+    invariant; when the input plan is ALREADY in the layout
+    (``repartition=False``) the write is partition-local, no exchange.
+
+    The in-loop default stays ``materialize_keyed`` (no disk write on the
+    fast path); ``CrawlConfig(durable_state=True)`` routes every state
+    segment through this instead. Tables are registered under unique names
+    in the session catalog with data under ``base_dir`` — dropped when the
+    crawl workdir is reclaimed.
+    """
+    spark = df.sparkSession
+    keys = (key,) if isinstance(key, str) else tuple(key)
+    sort_cols = tuple(sort or keys)
+    if repartition:
+        df = df.repartition(n_parts, *keys)
+    name = f"spiderspark_seg_{next(_DURABLE_SEQ)}_{uuid.uuid4().hex[:6]}"
+    path = os.path.join(base_dir or "spark-warehouse", name)
+    (
+        df.write.format("parquet")
+        .bucketBy(n_parts, *keys)
+        .sortBy(*sort_cols)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
 
 
 @dataclass(frozen=True)
@@ -153,15 +203,24 @@ class SegmentedTable:
             self.segments + (seg,), self.n_parts, self.key, self.id_col
         )
 
-    def maybe_compact(self, max_segments: int) -> "SegmentedTable":
+    def maybe_compact(
+        self, max_segments: int, materializer=None
+    ) -> "SegmentedTable":
         """Fold back to one segment when the list grows past
-        ``max_segments`` — the amortized full-state exchange."""
+        ``max_segments`` — the amortized full-state exchange.
+        ``materializer(df)`` overrides the layout materialization (durable
+        mode routes it through ``materialize_keyed_durable``)."""
         if len(self.segments) <= max_segments:
             return self
         merged = self.segments[0]
         for seg in self.segments[1:]:
             merged = merged.unionByName(seg)
-        seg = materialize_keyed(merged, self.n_parts, self.key, sort=self.sort_cols)
+        if materializer is not None:
+            seg = materializer(merged)
+        else:
+            seg = materialize_keyed(
+                merged, self.n_parts, self.key, sort=self.sort_cols
+            )
         return SegmentedTable((seg,), self.n_parts, self.key, self.id_col)
 
 

@@ -21,7 +21,7 @@ ROUNDS = 3
 BUDGET = 5.0
 
 
-def _spark_run(spark, use_bloom=True, rounds=ROUNDS):
+def _spark_run(spark, use_bloom=True, rounds=ROUNDS, sketch_kind="bloom"):
     pages = spark.createDataFrame(
         gen_pages_pdf(np.arange(CORPUS), CORPUS),
         schema="url string, warc_ts timestamp, html binary, text string, lang string",
@@ -33,6 +33,7 @@ def _spark_run(spark, use_bloom=True, rounds=ROUNDS):
         use_bloom=use_bloom,
         state_buckets=4,
         bloom_capacity_per_bucket=4096,
+        sketch_kind=sketch_kind,
     )
     state, schedules, logs = crawl(
         spark, seeds, pages, robots, rounds=rounds, config=config
@@ -75,6 +76,16 @@ def test_ordering_and_seen_match_oracle(spark, oracle_result):
     # sanity: the crawl actually did something non-trivial
     assert sum(len(r) for r in oracle_rounds) > 20
     assert len(oracle_rounds[1]) > 0  # discovery fed later rounds
+
+
+def test_cuckoo_tier_changes_nothing(spark, oracle_result):
+    """CrawlConfig(sketch_kind='cuckoo'): the cuckoo approximate tier must
+    be schedule-invisible exactly like bloom (false positives fall through
+    to the exact tier; inserts raise rather than drop)."""
+    oracle_rounds, oracle = oracle_result
+    cuckoo_rounds, cuckoo_seen, _, _, _ = _spark_run(spark, sketch_kind="cuckoo")
+    assert cuckoo_rounds == oracle_rounds
+    assert cuckoo_seen == sorted(oracle.seen)
 
 
 def test_bloom_tier_changes_nothing(spark, oracle_result):

@@ -254,3 +254,74 @@ def test_crawl_round_with_nothing_newly_seen_commits(spark):
     assert state.snapshot_id is not None
     assert state.seen.total_rows() == 0  # nothing seen...
     assert len(state.sketch.paths) == 0  # ...and no delta dir was written
+
+
+def test_durable_segment_keeps_layout_contract(spark):
+    """materialize_keyed_durable: the bucketed-table roundtrip must keep
+    co-partitioned joins exchange-free, like the in-memory layout."""
+    from spiderspark.state import materialize_keyed_durable
+
+    base = tempfile.mkdtemp(prefix="durseg-")
+    a = materialize_keyed_durable(
+        spark.range(0, 4000).select(F.col("id").alias("url_hash")),
+        n_parts=4, base_dir=base,
+    )
+    b = materialize_keyed(
+        spark.range(2000, 6000).select(F.col("id").alias("url_hash")), 4
+    )
+    j = a.join(b, "url_hash", "left_anti")
+    plan = _plan(j)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert j.count() == 2000
+    # composite key variant (the frontier layout)
+    c = materialize_keyed_durable(
+        spark.range(0, 4000).select(
+            (F.col("id") % 8).cast("int").alias("host_bucket"),
+            (F.col("id") % 2).cast("int").alias("salt"),
+            F.col("id").alias("url_hash"),
+        ),
+        n_parts=4, key=("host_bucket", "salt"),
+        sort=("host_bucket", "salt", "url_hash"), base_dir=base,
+    )
+    g = c.groupBy("host_bucket", "salt", "url_hash").agg(F.count(F.lit(1)).alias("n"))
+    assert _n_hash_exchanges(g) == 0, _plan(g)
+
+
+def test_durable_mode_crawl_matches_default_and_resumes(spark):
+    """CrawlConfig(durable_state=True): identical schedules to the default
+    in-memory mode, and resume from a snapshot continues identically."""
+    import numpy as np
+
+    from spiderspark.crawl import CrawlConfig, crawl, crawl_round, keyed_pages, resume
+    from spiderspark.pages import gen_pages_pdf, robots_pdf, seeds_pdf
+    from spiderspark.politeness import HostPolicy
+    from spiderspark.schemas import ROBOTS_TXT, SEEDS
+    from spiderspark.snapshots import ParquetManifestStore
+
+    pages = spark.createDataFrame(
+        gen_pages_pdf(np.arange(400), 400),
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(seeds_pdf(20, 400), schema=SEEDS)
+    robots = spark.createDataFrame(robots_pdf(), schema=ROBOTS_TXT)
+
+    def orderings(schedules):
+        return [[r["url_hash"] for r in s.orderBy("rank").collect()] for s in schedules]
+
+    base_cfg = CrawlConfig(policy=HostPolicy(default_budget=4.0), state_buckets=4)
+    dur_cfg = CrawlConfig(
+        policy=HostPolicy(default_budget=4.0), state_buckets=4, durable_state=True
+    )
+    _, sched_mem, _ = crawl(spark, seeds, pages, robots, rounds=4, config=base_cfg)
+    store = ParquetManifestStore(tempfile.mkdtemp(prefix="dursnap-"))
+    _, sched_dur, _ = crawl(
+        spark, seeds, pages, robots, rounds=2, config=dur_cfg, store=store
+    )
+    golden = orderings(sched_mem)
+    assert orderings(sched_dur) == golden[:2]
+
+    st = resume(spark, store, dur_cfg)
+    pk = keyed_pages(pages, n_parts=dur_cfg.state_buckets)
+    st, s3, _ = crawl_round(spark, st, pk, dur_cfg)
+    st, s4, _ = crawl_round(spark, st, pk, dur_cfg)
+    assert orderings([s3, s4]) == golden[2:4]
