@@ -173,10 +173,18 @@ def run_headline(
         shutil.rmtree(small_dir, ignore_errors=True)
     t_warm = time.time() - t_w0
 
+    from .metrics import ShuffleWindow
+
     delta_root = tempfile.mkdtemp(prefix="spiderbench-delta-")
     rounds = []
     for i in range(max(1, repeats)):
+        w = ShuffleWindow(spark).start()
         rounds.append(round_fn(raw, delta_root))
+        shuf = w.stop()  # per-round shuffle bytes: the scaling-accounting
+        if shuf:  # quantity (identical at every parallelism by layout)
+            rounds[-1]["shuffle_write_mb"] = round(
+                shuf["shuffle_write_bytes"] / 1e6, 2
+            )
         if i + 1 >= max(1, min_repeats):
             walls = [r["wall_s"] for r in rounds]
             # plateau: neither of the last two rounds improved best by >3%

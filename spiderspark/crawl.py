@@ -7,23 +7,33 @@ scheduled+deduped/sec", BASELINE.json:2) and of the ordering invariant: the
 returned schedule's (rank, url_hash) sequence must equal the pure-python
 oracle's for the same seeds + politeness budget at any parallelism.
 
-Scale shape (the repeat-round exchange budget — see docs/PLANS.md):
+Scale shape (the repeat-round exchange budget — see docs/PLANS.md
+"Scheduler layout"):
 
-- Frontier and seen are SegmentedTables in the keyed layout
-  (state.materialize_keyed): hash-partitioned by url_hash at a fixed
-  ``state_buckets``, sorted within partitions. Every per-round touch of the
-  big state — seen anti-join, schedule removal, delta resolve — plans as a
+- The frontier is a SegmentedTable in the SCHEDULER layout: hash-partitioned
+  by (host_bucket, salt) — salt from the per-crawl static table — at a
+  fixed ``state_buckets``, sorted by (host_bucket, salt, url_hash). The
+  seen set stays keyed by url_hash. Every per-round touch of the big state
+  — schedule removal, delta resolve, seen anti-probes — plans as a
   co-partitioned SMJ or broadcast probe with ZERO exchange and ZERO sort on
   the stored side. Network per round is O(delta + schedule), not O(state).
+- Scheduling itself never exchanges the candidates either: ONE partition-
+  local pass (frontier.membership_prefix_topk) fuses sketch membership with
+  the exact per-host budget pre-selection; only the O(hosts × budget) kept
+  set reaches the final window. The classic two-phase window remains as the
+  exact-tier-only fallback (no sketch yet / use_bloom=False).
 - The URL-seen sketch is distributed (frontier.SketchRef): membership is a
-  partition-local side-read of only the task's bucket slices; updates are
-  bucket-partitioned delta directories; compaction is a distributed
-  groupBy(bucket) bit-OR. Nothing sketch-shaped ever lives on the driver or
-  in a broadcast.
+  partition-local side-read of only the task's bucket slice (bucket routing
+  == the frontier partitioning, so salting also evens slice sizes under
+  Zipf skew); updates are bucket-partitioned delta directories; compaction
+  is a distributed groupBy(bucket) merge. Bloom (default) or cuckoo
+  (deletion support) tiers behind the same rows. Nothing sketch-shaped ever
+  lives on the driver or in a broadcast.
 - Iterative-loop hygiene: each round's state is re-materialized through
   ``materialize_keyed`` (plans stay shallow; the checkpoint write is
-  partition-local — no network), transient persists are dropped at
-  round end.
+  partition-local — no network) or, with ``durable_state=True``, through
+  bucketed parquet tables that keep the same layout contract while
+  surviving executor loss; transient persists are dropped at round end.
 """
 
 from __future__ import annotations
