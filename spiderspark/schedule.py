@@ -173,7 +173,15 @@ def global_rank(
     """O1: total order + a global ``rank`` column WITHOUT a single-partition
     window. Range-partition on the order key, rank within each partition,
     then add broadcast per-partition offsets — the scalable global-sort-rank
-    pattern (two passes over an already-small schedule)."""
+    pattern (two passes over an already-small schedule).
+
+    The offsets are collected via a SEPARATE ACTION on purpose: it forces
+    the persisted range-partitioned frame to materialize before anything
+    reads ``spark_partition_id()``. A no-collect formulation (offsets via a
+    window over the counts inside ONE query) measurably produced DUPLICATE
+    ranks: with the cache still lazy, the two branches can observe
+    different recomputations of the nondeterministic partition ids. Do not
+    "optimize" the collect away without pinning the cache first."""
     sdf = (
         df.repartitionByRange(
             num_partitions or df.sparkSession.sparkContext.defaultParallelism,
