@@ -67,16 +67,26 @@ def one_round_fused(
     t_canon = time.time() - t0
 
     t2 = time.time()
-    budgeted = join_host_state(keyed, spark.createDataFrame([], HOST_STATE), policy)
+    empty_hs = spark.createDataFrame([], HOST_STATE)
+    budgeted = join_host_state(keyed, empty_hs, policy)
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    kept = membership_prefix_topk(gated, sketch).localCheckpoint(eager=True)
+    # join_back=keyed: the kept keys rejoin the checkpointed segment — the
+    # 8M-row side pays the budget+robots pass ONCE (in the thin pass); the
+    # tiny kept set re-derives those columns for the final window
+    kept = membership_prefix_topk(
+        gated, sketch, join_back=keyed
+    ).localCheckpoint(eager=True)
     definite = kept.filter(~F.col("_maybe")).drop("_maybe")
     sliver = (
         kept.filter(F.col("_maybe"))
         .drop("_maybe")
         .repartition(seen_table.n_parts, "url_hash")
     )
-    survivors = definite.unionByName(seen_table.anti_probe(sliver))
+    survivors = robots_gate(
+        join_host_state(
+            definite.unionByName(seen_table.anti_probe(sliver)), empty_hs, policy
+        )
+    ).filter(F.col("host_budget") > 0)
     selected = per_host_topk_final(
         survivors, "host_budget", k_cap=int(policy.default_budget)
     )

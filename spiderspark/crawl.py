@@ -274,7 +274,13 @@ def crawl_round(
         for seg in state.frontier.segments:
             budgeted = join_host_state(seg, state.host_state, config.policy)
             gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-            kept = _materialize(membership_prefix_topk(gated, state.sketch))
+            # join_back=seg: the thin pass reads the gated view once; the
+            # kept keys rejoin the CHECKPOINTED segment, so the big side
+            # never pays a second budget+robots pass — those columns are
+            # re-derived on the tiny kept set below
+            kept = _materialize(
+                membership_prefix_topk(gated, state.sketch, join_back=seg)
+            )
             definite = kept.filter(~F.col("_maybe")).drop("_maybe")
             sliver = (
                 kept.filter(F.col("_maybe"))
@@ -287,6 +293,9 @@ def crawl_round(
         survivors = survivor_parts[0]
         for p in survivor_parts[1:]:
             survivors = survivors.unionByName(p)
+        survivors = robots_gate(
+            join_host_state(survivors, state.host_state, config.policy)
+        ).filter(F.col("host_budget") > 0)
         selected = per_host_topk_final(survivors, "host_budget", k_cap=state.k_cap)
     else:
         # exact-tier-only fallback (use_bloom=False, or round 1 before any

@@ -543,7 +543,10 @@ _PREFIX_ORDER = ("priority", "depth", "discovered_batch", "url_hash")
 
 
 def membership_prefix_topk(
-    df: DataFrame, ref: SketchRef, k_col: str = "host_budget"
+    df: DataFrame,
+    ref: SketchRef,
+    k_col: str = "host_budget",
+    join_back: DataFrame | None = None,
 ) -> DataFrame:
     """ONE partition-local pass that fuses J2 sketch membership with an
     EXACT per-host budget pre-selection — the operator that removes the
@@ -575,10 +578,14 @@ def membership_prefix_topk(
     a JVM xxhash64 key — string/array columns never cross the Arrow
     boundary; that conversion would dominate the stage) and emits only
     (url_hash, _maybe) keys; the kept keys are broadcast-joined back onto
-    ``df``, which preserves its partitioning. Requires ``df`` deduped on
-    url_hash (state segments are, by invariant). For deployments where the
-    kept set outgrows a broadcast (budget × hosts ≫ 10^7), join back on
-    (routing..., url_hash) instead — layout-satisfied on the big side.
+    ``join_back`` (default ``df``), which preserves its partitioning.
+    Passing the CHECKPOINTED segment as ``join_back`` while ``df`` is the
+    gated/budgeted view of it saves a second full budget+robots pass over
+    the big side — the caller re-derives those columns on the tiny kept
+    set instead. Requires ``df`` deduped on url_hash (state segments are,
+    by invariant). For deployments where the kept set outgrows a broadcast
+    (budget × hosts ≫ 10^7), join back on (routing..., url_hash) instead —
+    layout-satisfied on the big side.
     """
     paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
 
@@ -635,7 +642,9 @@ def membership_prefix_topk(
         sketch_bucket_col(ref.n_buckets, *ref.routing).alias("_bucket"),
     )
     kept_keys = thin.mapInPandas(fn, schema="url_hash long, _maybe boolean")
-    return df.join(F.broadcast(kept_keys), "url_hash")
+    return (join_back if join_back is not None else df).join(
+        F.broadcast(kept_keys), "url_hash"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -649,10 +649,20 @@ def scan_snapshot(spark, sf_dir):
     return store.read(spark, s1, "docs")
 
 
-@q("canonicalize_urls")  # rows-only: P2 pinned kernel (oracle is test-pinned)
+@q(
+    "canonicalize_urls",
+    # the synthetic variants normalize to a closed form (lowercase scheme +
+    # host, default port stripped, /a/../ dot segments resolved, %7e →
+    # unreserved ~), so the RFC-3986 kernel is value-checkable in plain SQL;
+    # the xxhash64 identity (P3) is pinned separately by test_spark_parity
+    "SELECT 'HTTP://' || upper(source) || '.Example:80/a/../d/' || doc_id "
+    "|| '?x=%7e' AS url, "
+    "'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm, "
+    "source || '.example' AS host FROM documents",
+)
 def canonicalize_urls(spark, sf_dir):
     """RFC-3986 canonicalization over synthetic pre-normalization variants
-    derived from documents — one Arrow crossing, JVM-side hash."""
+    derived from documents — one Arrow crossing."""
     from .frontier import with_canonical
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -664,7 +674,7 @@ def canonicalize_urls(spark, sf_dir):
             F.lit("?x=%7e"),
         ).alias("url")
     )
-    return with_canonical(docs).select("url", "url_norm", "url_hash", "host")
+    return with_canonical(docs).select("url", "url_norm", "host")
 
 
 @q(
