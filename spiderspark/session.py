@@ -46,6 +46,12 @@ def get_spark(
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)
+    # ad-hoc conf overrides without code changes (experiments / cluster
+    # tuning): SPIDERSPARK_EXTRA_CONF="k1=v1;k2=v2"
+    for pair in os.environ.get("SPIDERSPARK_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
