@@ -312,13 +312,14 @@ def ann_bruteforce(spark, sf_dir):
     return brute_force_topk(corpus, queries_df, k=10)
 
 
-@q("ann_lsh")
-def ann_lsh(spark, sf_dir):
+@q("ann_approx")  # rows-only: both approximate ANN variants, tagged per
+def ann_approx(spark, sf_dir):  # method (one registry row — the external
+    """LSH-bucketed + IVF approximate top-k in one tagged result (the
+    driver records at most 50 queries; recall for each method is pinned by
+    the planted-neighbor tests in test_pipeline_ops)."""
     corpus, queries_df = _split(spark, sf_dir)
-    return lsh_bucketed_topk(corpus, queries_df, k=10)
-
-
-@q("ann_ivf")
-def ann_ivf(spark, sf_dir):
-    corpus, queries_df = _split(spark, sf_dir)
-    return ivf_topk(corpus, queries_df, k=10)
+    lsh = lsh_bucketed_topk(corpus, queries_df, k=10)
+    ivf = ivf_topk(corpus, queries_df, k=10)
+    return lsh.select(F.lit("lsh").alias("method"), "q_id", "n_id", "cos").unionByName(
+        ivf.select(F.lit("ivf").alias("method"), "q_id", "n_id", "cos")
+    )

@@ -350,6 +350,144 @@ def ngram_jaccard_pairs(
     )
 
 
+# -- embedding-cosine near-dup (the 5th dedup family) ------------------------
+
+_EMB_RNG_SEED = 7
+
+
+def _unit_projections(dim: int, n: int) -> np.ndarray:
+    rng = np.random.RandomState(_EMB_RNG_SEED)
+    u = rng.standard_normal((n, dim))
+    return u / np.linalg.norm(u, axis=1, keepdims=True)
+
+
+def _lit_vec(v: np.ndarray):
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                       lambda acc, v: acc + v)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    method: str = "grid",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold — the
+    embedding-tier dedup family. Returns (id_a, id_b, cos).
+
+    method="grid" is EXACT with no all-pairs join: for unit vectors,
+    cos ≥ t ⟺ ‖a−b‖ ≤ w = sqrt(2(1−t)), and any 1-Lipschitz projection
+    moves less than the distance — so banding TWO fixed unit projections at
+    width w and probing the 3×3 neighbor cells covers every qualifying pair
+    (left side explodes to 9 cells, right stays in its own; the id order
+    filter makes each pair match exactly once). Pruning power grows with
+    the threshold (w shrinks ⇒ more cells); at near-dup thresholds (~0.95)
+    the grid is fine, at low thresholds it degrades gracefully toward
+    block-nested cost. Candidates get the exact JVM cosine filter.
+
+    method="lsh" is the approximate scale path for huge corpora:
+    ``n_tables`` independent signed-random-projection bucketings (cosine
+    LSH), self-join per table on the bucket key, union, exact verify —
+    recall < 1 is possible and pinned by the planted-pair test instead of
+    an oracle.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    vecs = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+
+    if method == "grid":
+        w = float(np.sqrt(max(2.0 * (1.0 - threshold), 1e-9)))
+        u = _unit_projections(dim, 2)
+        banded = vecs.withColumn(
+            "_b1", F.floor(_dot(F.col("_v"), _lit_vec(u[0])) / F.col("_n") / F.lit(w))
+        ).withColumn(
+            "_b2", F.floor(_dot(F.col("_v"), _lit_vec(u[1])) / F.col("_n") / F.lit(w))
+        )
+        probes = banded.select(
+            F.col("_id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
+            "_b1", "_b2",
+        ).withColumn(
+            "_d",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+                        for di in (-1, 0, 1)
+                        for dj in (-1, 0, 1)
+                    ]
+                )
+            ),
+        ).select(
+            "id_a", "_va", "_na",
+            (F.col("_b1") + F.col("_d.di")).alias("_c1"),
+            (F.col("_b2") + F.col("_d.dj")).alias("_c2"),
+        )
+        cells = banded.select(
+            F.col("_id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+            F.col("_b1").alias("_c1"),
+            F.col("_b2").alias("_c2"),
+        )
+        cand = probes.join(cells, ["_c1", "_c2"]).filter(
+            F.col("id_a") < F.col("id_b")
+        )
+    else:
+        planes = np.random.RandomState(_EMB_RNG_SEED).standard_normal(
+            (n_tables, dim, n_planes)
+        )
+        bc = vectors.sparkSession.sparkContext.broadcast(planes)
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def buckets_udf(vec: pd.Series) -> pd.Series:
+            p = bc.value
+            m = np.array(vec.tolist(), dtype=np.float64)
+            out = []
+            keys = np.stack(
+                [
+                    ((m @ p[t]) > 0).dot(1 << np.arange(p[t].shape[1]))
+                    for t in range(len(p))
+                ],
+                axis=1,
+            ).astype(np.int32)
+            return pd.Series([row.tolist() for row in keys])
+
+        tabbed = vecs.select(
+            "_id", "_v", "_n", F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_b")
+        )
+        a = tabbed.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"), "_t", "_b",
+        )
+        b = tabbed.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"), "_t", "_b",
+        )
+        cand = (
+            a.join(b, ["_t", "_b"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        cand.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver-contract registrations
 # ---------------------------------------------------------------------------
@@ -413,6 +551,26 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE i >= 0.5 * (sa.n + sb.n - i)
 """
+
+
+@q(
+    "embedding_dedup",
+    # the exact grid method is oracle-checkable: DuckDB recomputes every
+    # qualifying pair by brute force. Threshold 0.4 because the synthetic
+    # embeddings are random (max cosine ≈ 0.51 at sf0.01 — no planted
+    # near-dups); real near-dup deployments run ~0.95 where the grid prunes
+    # hard. Nearest pair to the boundary sits 1.3e-4 away, far beyond any
+    # float32/float64 accumulation divergence between the engines.
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+    "round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+)
+def embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact grid-banded method, ★)."""
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, method="grid"
+    )
 
 
 @q("ngram_jaccard", _NGRAM_ORACLE)

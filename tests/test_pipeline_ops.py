@@ -180,3 +180,61 @@ def test_fake_image_roundtrip():
     blob = encode_fake_image(16, 9, 3)
     meta = decode_image_batch(pd.Series([blob]))
     assert meta.iloc[0].tolist() == [16, 9, 3, len(blob), True]
+
+
+def test_embedding_near_dups_grid_exact(spark):
+    """The grid method must find EXACTLY the brute-force cosine pairs."""
+    import numpy as np
+
+    from spiderspark.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((120, 16))
+    # plant 10 near-dup pairs: copy + small noise
+    planted = base[:10] + rng.standard_normal((10, 16)) * 0.05
+    m = np.vstack([base, planted])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(df, threshold=0.9, method="grid").collect()
+    }
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    iu = np.triu_indices(len(m), 1)
+    want = {
+        (int(i), int(j))
+        for i, j in zip(iu[0][cos[iu] >= 0.9], iu[1][cos[iu] >= 0.9])
+    }
+    assert got == want and len(want) >= 10
+
+
+def test_embedding_near_dups_lsh_recall(spark):
+    """The LSH scale tier must recover nearly all planted near-dups, and
+    every reported pair must genuinely clear the threshold (exact verify)."""
+    import numpy as np
+
+    from spiderspark.dedup import embedding_near_dups
+
+    rng = np.random.RandomState(4)
+    base = rng.standard_normal((200, 16))
+    planted = base[:40] + rng.standard_normal((40, 16)) * 0.03
+    m = np.vstack([base, planted])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = embedding_near_dups(
+        df, threshold=0.95, method="lsh", n_planes=8, n_tables=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = mn @ mn.T
+    want = {(int(i), int(200 + i)) for i in range(40) if cos[i, 200 + i] >= 0.95}
+    assert len(want) >= 30
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"recall {recall}"
+    for r in rows:  # no false positives: exact verification is applied
+        assert r["cos"] >= 0.95
