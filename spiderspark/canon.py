@@ -49,8 +49,13 @@ import pandas as pd
 # ---------------------------------------------------------------------------
 
 _SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+# userinfo ("user@", dropped per spec step 3) is consumed INSIDE the parts
+# regex — one combined scan instead of extract + a second replace pass over
+# the authority. `[^@/?#]*@` eats up to the FIRST '@' exactly like the old
+# `^[^@/]*@` replace did on the extracted authority.
 _URL_PARTS_RE = (
-    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://(?:[^@/?#]*@)?([^/?#]*)([^?#]*)"
+    r"(?:\?([^#]*))?(?:#.*)?$"
 )
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")
 _UNRESERVED = set(
@@ -113,7 +118,7 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
 
     parts = s.str.extract(_URL_PARTS_RE)
     scheme = parts[0].str.lower()
-    auth = parts[1].str.replace(r"^[^@/]*@", "", regex=True)
+    auth = parts[1]
     path = parts[2].fillna("")
     query = parts[3]
 
@@ -139,7 +144,15 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     )
     port_part = (":" + port.fillna("")).where(port.notna() & ~is_default, "")
 
-    path = path.str.replace(_PCT_RE, _pct_norm_match, regex=True)
+    # percent-normalization only on the subset that CONTAINS a '%': the
+    # callback-regex replace is the most expensive pass in the kernel and
+    # is the identity on %-free strings (the common case) — a cheap literal
+    # contains() gates it; output is byte-identical by construction
+    has_pct = path.str.contains("%", regex=False)
+    if has_pct.any():
+        path = path.mask(
+            has_pct, path[has_pct].str.replace(_PCT_RE, _pct_norm_match, regex=True)
+        )
     dotted = path.str.contains(_DOT_SEG_RE)
     if dotted.any():
         path = path.mask(dotted, path[dotted].map(remove_dot_segments))
@@ -147,7 +160,14 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     needs_slash = ~path.str.startswith("/")
     path = path.where(~needs_slash, "/" + path)
 
-    query = query.str.replace(_PCT_RE, _pct_norm_match, regex=True)
+    q_pct = (
+        query.str.contains("%", regex=False)
+        .astype("boolean").fillna(False).astype(bool)
+    )
+    if q_pct.any():
+        query = query.mask(
+            q_pct, query[q_pct].str.replace(_PCT_RE, _pct_norm_match, regex=True)
+        )
     q_part = ("?" + query.fillna("")).where(query.notna() & (query != ""), "")
 
     out = scheme + "://" + host + port_part + path + q_part
