@@ -31,15 +31,33 @@ import spiderspark.streaming  # noqa: F401,E402
 
 
 def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derive a deterministic seed list from the documents table: one URL
-    per doc, host = source (Zipf-ish), priority cycles 0..4."""
+    """Deterministic seed list from the documents table: per doc, a MESSY
+    pre-normalization URL variant (case/default-port/dot-segments/%7e — the
+    RFC-3986 kernel does real work) PLUS the already-canonical form of the
+    same URL (so within-batch dedup does real work: both collapse to one
+    canonical row). Host = source (Zipf-ish).
+
+    priority = doc_id (globally unique): the engine's total order
+    (priority, depth, discovered_batch, url_hash) then never reaches its
+    url_hash tie-break, which makes the schedule — selection, order, rank —
+    exactly reproducible in ANSI SQL (DuckDB has no xxhash64; the hash
+    VALUES themselves are pinned by tests/test_hashing.py instead)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-    return docs.select(
+    messy = docs.select(
         F.concat(
-            F.lit("http://"), F.col("source"), F.lit(".example/d/"), F.col("doc_id")
+            F.lit("HTTP://"), F.upper("source"), F.lit(".Example:80/a/../d/"),
+            F.col("doc_id"), F.lit("?x=%7e"),
         ).alias("url"),
-        (F.col("doc_id") % 5).cast("double").alias("priority"),
+        F.col("doc_id").cast("double").alias("priority"),
     )
+    clean = docs.select(
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+            F.col("doc_id"), F.lit("?x=~"),
+        ).alias("url"),
+        F.col("doc_id").cast("double").alias("priority"),
+    )
+    return messy.unionByName(clean)
 
 
 def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> DataFrame:
@@ -59,6 +77,53 @@ def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> 
     return to_schedule(selected, batch_id=1)
 
 
+def crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship, VALUE-CHECKED: the full engine path (canonicalize →
+    hash → within-batch dedup → seen anti-join → politeness budget →
+    skew-salted per-host top-k → deterministic global rank), projected
+    without the url_hash column so every remaining column is exactly
+    reproducible by the composed ANSI-SQL oracle below (canonicalization
+    closed form + per-host row_number ≤ budget + global row_number — the
+    same three pieces proven green individually as `canonicalize_urls`,
+    `window_rank_per_host`, `order_frontier`). xxhash64 value parity is
+    pinned by tests/test_hashing.py; the seeds' unique priorities make the
+    schedule independent of the hash tie-break (see _documents_as_seeds)."""
+    return schedule_round_df(spark, sf_dir).drop("url_hash")
+
+
+_CRAWL_SCHEDULE_ORACLE = """
+WITH seeds AS (
+  SELECT 'HTTP://' || upper(source) || '.Example:80/a/../d/' || doc_id
+           || '?x=%7e' AS url,
+         'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm,
+         source || '.example' AS host,
+         CAST(doc_id AS DOUBLE) AS priority
+  FROM documents
+  UNION ALL
+  SELECT 'http://' || source || '.example/d/' || doc_id || '?x=~' AS url,
+         'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm,
+         source || '.example' AS host,
+         CAST(doc_id AS DOUBLE) AS priority
+  FROM documents
+), dedup AS (
+  -- within-batch dedup keeps the min-(priority, ..., url) row per canonical
+  -- url; priorities tie between the two variants, so min(url) decides
+  SELECT min(url) AS url, url_norm, host, min(priority) AS priority
+  FROM seeds GROUP BY url_norm, host
+), topk AS (
+  -- politeness: default budget 8/host, no robots, empty seen set
+  SELECT * FROM dedup
+  QUALIFY row_number() OVER (PARTITION BY host ORDER BY priority) <= 8
+)
+SELECT CAST(1 AS BIGINT) AS batch_id,
+       row_number() OVER (ORDER BY priority) AS rank,
+       url, url_norm, host, priority,
+       CAST(0 AS INTEGER) AS depth,
+       CAST(0 AS INTEGER) AS attempt
+FROM topk
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return schedule_round_df(spark, "/root/testdata/sf0.001")
@@ -73,9 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXACTLY 50 entries: the external driver records at most 50 queries
     # (CORRECTNESS r01 and r02 both truncated at 50, silently dropping the
     # tail), so the registry is sized to the cap — U1-U3 share the tagged
-    # `set_ops` row, langid+fingerprint share `text_profile`. The flagship
+    # `set_ops` row, A5 rollup+cube share `grouping_sets`. The flagship
     # engine op goes FIRST so it can never fall off the end.
-    out = {"crawl_schedule_round": schedule_round_df}  # rows-only (engine op)
+    out = {"crawl_schedule_round": crawl_schedule_round}
     out.update(_q.QUERIES)
     assert len(out) <= 50, f"driver records only 50 queries; got {len(out)}"
     return out
@@ -83,7 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per SQL-expressible query; approximate /
-    sketch / float-geometry / engine-state ops are intentionally absent →
-    the driver records the weaker rows-only check for them.
+    sketch / engine-state ops are intentionally absent → the driver records
+    the weaker rows-only check for them.
     """
-    return dict(_q.ORACLE)
+    return {"crawl_schedule_round": _CRAWL_SCHEDULE_ORACLE, **_q.ORACLE}

@@ -188,7 +188,8 @@ def run_headline(
         if i + 1 >= max(1, min_repeats):
             walls = [r["wall_s"] for r in rounds]
             # plateau: neither of the last two rounds improved best by >3%
-            if min(walls[-2:]) > min(walls[:-2]) * 0.97:
+            # (needs ≥3 samples: min() over walls[:-2] is empty otherwise)
+            if len(walls) >= 3 and min(walls[-2:]) > min(walls[:-2]) * 0.97:
                 break
     best = min(rounds, key=lambda r: r["wall_s"])
     assert len({r["schedule_digest"] for r in rounds}) == 1, "nondeterministic schedule!"

@@ -72,9 +72,11 @@ def one_round_fused(
     gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
     # join_back=keyed: the kept keys rejoin the checkpointed segment — the
     # 8M-row side pays the budget+robots pass ONCE (in the thin pass); the
-    # tiny kept set re-derives those columns for the final window
+    # tiny kept set re-derives those columns for the final window.
+    # SPIDERSPARK_BENCH_KEPT_JOIN=layout A/Bs the no-broadcast join-back.
     kept = membership_prefix_topk(
-        gated, sketch, join_back=keyed
+        gated, sketch, join_back=keyed,
+        join_strategy=os.environ.get("SPIDERSPARK_BENCH_KEPT_JOIN", "broadcast"),
     ).localCheckpoint(eager=True)
     definite = kept.filter(~F.col("_maybe")).drop("_maybe")
     sliver = (
@@ -90,15 +92,26 @@ def one_round_fused(
     selected = per_host_topk_final(
         survivors, "host_budget", k_cap=int(policy.default_budget)
     )
-    schedule = to_schedule(selected, batch_id=1)
-    digest_row = schedule.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))").alias("d"),
-    ).collect()[0]
+    # materialize the schedule ONCE: the digest agg and the sketch delta
+    # write below both read the checkpoint instead of re-executing the rank
+    # window + offsets join per action (was 2 extra executions per round)
+    schedule = to_schedule(
+        selected, batch_id=1, materialize=lambda df: df.localCheckpoint(eager=True)
+    )
     t_sched = time.time() - t2
 
     t3 = time.time()
+    digest_holder: dict = {}
+
+    def _digest():
+        digest_holder["row"] = schedule.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))").alias("d"),
+        ).collect()[0]
+
     if sketch is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
         from .frontier import host_bucket_col
 
         # the key's bucket must be derived from the URL's TRUE (hb, salt) —
@@ -111,12 +124,21 @@ def one_round_fused(
             ),
             salts,
         )
-        write_sketch_delta(
-            newly_seen.repartition(n_buckets, "host_bucket", "salt"),
-            os.path.join(delta_root, f"delta-{uuid.uuid4().hex[:8]}"),
-            sketch,
-            assume_keyed_layout=True,
-        )
+        # overlap the two independent actions on the checkpointed schedule:
+        # the digest agg rides along while the delta write runs (local mode
+        # schedules concurrent jobs fine; both inputs are pinned blocks)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_digest)
+            write_sketch_delta(
+                newly_seen.repartition(n_buckets, "host_bucket", "salt"),
+                os.path.join(delta_root, f"delta-{uuid.uuid4().hex[:8]}"),
+                sketch,
+                assume_keyed_layout=True,
+            )
+            fut.result()
+    else:
+        _digest()
+    digest_row = digest_holder["row"]
     t_delta = time.time() - t3
     wall = time.time() - t0
     return {

@@ -107,6 +107,13 @@ class CrawlConfig:
     max_attempts: int = 2
     # LSM knobs: segments/delta-dirs allowed before the amortized compaction
     max_segments: int = 4
+    # how the budget-preselected kept keys rejoin the big frontier segment:
+    # "broadcast" (sandbox-fastest; kept set must fit a broadcast) or
+    # "layout" (10^10 configuration: kept keys repartition on the frontier
+    # routing and join on (host_bucket, salt, url_hash) — layout-satisfied,
+    # the big side moves zero bytes, nothing is ever driver-sized). See
+    # frontier.membership_prefix_topk.
+    kept_join: str = "broadcast"
     # durable_state=True routes every state-segment materialization through
     # bucketed parquet tables (state.materialize_keyed_durable) instead of
     # localCheckpoint executor blocks: the layout contract survives the disk
@@ -114,6 +121,10 @@ class CrawlConfig:
     # In-sandbox the in-memory fast path stays the default (no disk write
     # per round). See docs/PLANS.md "State layout".
     durable_state: bool = False
+    # Where durable segments/sketch deltas live. On a cluster this MUST be
+    # shared storage (HDFS/S3/NFS) — the default driver-local tempdir is
+    # only durable on a single-node sandbox.
+    durable_dir: str | None = None
 
 
 @dataclass
@@ -198,7 +209,11 @@ def init_state(
         )
     )
     rows = assign_salts_static(rows, salts)
-    workdir = tempfile.mkdtemp(prefix="spiderspark-state-")
+    if config.durable_dir:
+        workdir = config.durable_dir
+        os.makedirs(workdir, exist_ok=True)
+    else:
+        workdir = tempfile.mkdtemp(prefix="spiderspark-state-")
     frontier0 = SegmentedTable.empty(n, key=FRONTIER_KEY)
     seg0 = _keyed_mat(config, workdir)(
         dedup_within_batch(_frontier_cols(rows)),
@@ -279,7 +294,10 @@ def crawl_round(
             # never pays a second budget+robots pass — those columns are
             # re-derived on the tiny kept set below
             kept = _materialize(
-                membership_prefix_topk(gated, state.sketch, join_back=seg)
+                membership_prefix_topk(
+                    gated, state.sketch, join_back=seg,
+                    join_strategy=config.kept_join,
+                )
             )
             definite = kept.filter(~F.col("_maybe")).drop("_maybe")
             sliver = (
@@ -509,6 +527,15 @@ def crawl_round(
         salts=state.salts,
     )
 
+    if config.durable_state:
+        # every new segment is eagerly written above, so the old round's
+        # bucketed tables (rewritten frontier segments; compacted-away seen
+        # segments) are reclaimable now — catalog entries AND files
+        from .state import drop_durable_segments
+
+        drop_durable_segments(spark, state.frontier.segments, frontier.segments)
+        drop_durable_segments(spark, state.seen.segments, seen.segments)
+
     if store is not None:
         new_state = commit_state(spark, new_state, schedule, fetch_log, store)
     return new_state, schedule, fetch_log
@@ -553,9 +580,17 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
     sketch = None
     if config.use_bloom and "seen_sketch" in m["tables"]:
         path = store.table_path(snapshot_id, "seen_sketch")
-        first = spark.read.parquet(path).select(
-            "n_bits", "n_hashes", "n_buckets", "routing", "kind"
-        ).head(1)
+        sk_df = spark.read.parquet(path)
+        # pre-schema snapshots (before routing/kind rode the rows) fall back
+        # to the only semantics they could have had — url_hash routing,
+        # bloom filters — mirroring the manifest-schema fallback in
+        # snapshots.py; selecting absent columns would fail the resume loudly
+        # for data that is perfectly resumable
+        have = set(sk_df.columns)
+        sel = ["n_bits", "n_hashes", "n_buckets"] + [
+            c for c in ("routing", "kind") if c in have
+        ]
+        first = sk_df.select(*sel).head(1)
         if first:
             stored_nb = int(first[0]["n_buckets"])
             # bucket routing is pmod(hash(routing cols), n_buckets): resuming
@@ -571,8 +606,10 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
                 stored_nb,
                 int(first[0]["n_bits"]),
                 int(first[0]["n_hashes"]),
-                tuple(first[0]["routing"].split(",")),
-                str(first[0]["kind"]),
+                tuple(first[0]["routing"].split(","))
+                if "routing" in have
+                else ("url_hash",),
+                str(first[0]["kind"]) if "kind" in have else "bloom",
             )
         else:
             sketch = SketchRef.create(

@@ -398,11 +398,20 @@ def embedding_near_dups(
     recall < 1 is possible and pinned by the planted-pair test instead of
     an oracle.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    if first is None:  # empty input: no pairs (and no dim to band on)
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = len(first[0])
     vecs = vectors.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    ).withColumn(
+        # clamp like the ANN kernels: a zero vector would otherwise divide
+        # the grid banding by zero and silently vanish from the result
+        "_n", F.greatest(F.sqrt(_dot(F.col("_v"), F.col("_v"))), F.lit(1e-12))
+    )
 
     if method == "grid":
         w = float(np.sqrt(max(2.0 * (1.0 - threshold), 1e-9)))

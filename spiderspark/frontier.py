@@ -547,6 +547,7 @@ def membership_prefix_topk(
     ref: SketchRef,
     k_col: str = "host_budget",
     join_back: DataFrame | None = None,
+    join_strategy: str = "broadcast",
 ) -> DataFrame:
     """ONE partition-local pass that fuses J2 sketch membership with an
     EXACT per-host budget pre-selection — the operator that removes the
@@ -583,11 +584,24 @@ def membership_prefix_topk(
     gated/budgeted view of it saves a second full budget+robots pass over
     the big side — the caller re-derives those columns on the tiny kept
     set instead. Requires ``df`` deduped on url_hash (state segments are,
-    by invariant). For deployments where the kept set outgrows a broadcast
-    (budget × hosts ≫ 10^7), join back on (routing..., url_hash) instead —
-    layout-satisfied on the big side.
+    by invariant).
+
+    ``join_strategy`` picks how the kept keys rejoin the big side:
+
+    - ``"broadcast"`` (default, measured-fastest at sandbox scale): the
+      kept-key frame is broadcast and the big side never moves. Breaks when
+      budget × hosts ≫ 10^7 — the kept set is then a driver-sized object.
+    - ``"layout"`` (the 10^10-frontier configuration): the pandas pass also
+      emits the routing columns; the kept keys are hash-repartitioned on
+      ref.routing (O(kept) exchange) and the join runs on
+      (routing..., url_hash) — layout-satisfied on the big side (hash
+      exprs ⊆ join keys), so the big side moves ZERO bytes and, stored
+      sorted on (routing..., url_hash), sorts zero rows. Nothing is ever
+      driver-sized. Also one fewer driver round-trip: no broadcast-build
+      barrier job before the join job.
     """
     paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
+    routing = list(ref.routing) if join_strategy == "layout" else []
 
     def fn(batches):
         fns: dict[int, object] = {}
@@ -630,7 +644,10 @@ def membership_prefix_topk(
             k_f = pdf[k_col].to_numpy()[order]
             keep = (d_incl + is_maybe.astype(np.int64)) <= k_f
             sel = order[keep]
-            yield pd.DataFrame({"url_hash": keys[sel], "_maybe": maybe[sel]})
+            out = {c: pdf[c].to_numpy()[sel] for c in routing}
+            out["url_hash"] = keys[sel]
+            out["_maybe"] = maybe[sel]
+            yield pd.DataFrame(out)
 
     thin = df.select(
         "url_hash",
@@ -640,11 +657,17 @@ def membership_prefix_topk(
         "discovered_batch",
         k_col,
         sketch_bucket_col(ref.n_buckets, *ref.routing).alias("_bucket"),
+        *routing,
     )
-    kept_keys = thin.mapInPandas(fn, schema="url_hash long, _maybe boolean")
-    return (join_back if join_back is not None else df).join(
-        F.broadcast(kept_keys), "url_hash"
+    out_schema = ", ".join(
+        [f"{c} int" for c in routing] + ["url_hash long", "_maybe boolean"]
     )
+    kept_keys = thin.mapInPandas(fn, schema=out_schema)
+    big = join_back if join_back is not None else df
+    if join_strategy == "layout":
+        kept_keys = kept_keys.repartition(ref.n_buckets, *routing)
+        return big.join(kept_keys, routing + ["url_hash"])
+    return big.join(F.broadcast(kept_keys), "url_hash")
 
 
 # ---------------------------------------------------------------------------

@@ -283,32 +283,50 @@ def distinct_urls(spark, sf_dir):
 
 
 @q(
-    "rollup_metrics",
-    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
-    "round(sum(o_totalprice), 4) AS total FROM orders "
-    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+    "grouping_sets",
+    # one tagged query covers A5 rollup + cube (same 50-row-cap sharing
+    # pattern as set_ops — merging these two freed a registry slot for the
+    # oracle-checked `langid`); key columns are unified to strings
+    "SELECT 'r' AS op, o_orderstatus AS k1, o_orderpriority AS k2, "
+    "count(*) AS n, round(sum(o_totalprice), 4) AS total FROM orders "
+    "GROUP BY ROLLUP(o_orderstatus, o_orderpriority) "
+    "UNION ALL "
+    "SELECT 'c' AS op, event_type AS k1, CAST(cohort AS VARCHAR) AS k2, "
+    "count(*) AS n, CAST(NULL AS DOUBLE) AS total "
+    "FROM (SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort FROM events) "
+    "GROUP BY CUBE(event_type, cohort)",
 )
-def rollup_metrics(spark, sf_dir):
-    return (
+def grouping_sets(spark, sf_dir):
+    """A5: rollup (orders) + cube (events), tagged per branch."""
+    r = (
         _t(spark, sf_dir, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
+        .select(
+            F.lit("r").alias("op"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "total",
+        )
     )
-
-
-@q(
-    "cube_metrics",
-    "SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort, count(*) AS n "
-    "FROM events GROUP BY CUBE(event_type, cohort)",
-)
-def cube_metrics(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "cohort", (F.col("user_id") % 4).cast("long")
+    c = (
+        _t(spark, sf_dir, "events")
+        .withColumn("cohort", (F.col("user_id") % 4).cast("long"))
+        .cube("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("c").alias("op"),
+            F.col("event_type").alias("k1"),
+            F.col("cohort").cast("string").alias("k2"),
+            "n",
+            F.lit(None).cast("double").alias("total"),
+        )
     )
-    return ev.cube("event_type", "cohort").agg(F.count(F.lit(1)).alias("n"))
+    return r.unionByName(c)
 
 
 @q(

@@ -220,17 +220,21 @@ def to_schedule(selected: DataFrame, batch_id: int, materialize=None) -> DataFra
     global deterministic rank.
 
     ``materialize``: optional eager materializer (e.g. localCheckpoint);
-    when given, the rank intermediate's persist is dropped as soon as the
-    schedule is materialized — the crawl loop passes one so cached blocks
-    don't accumulate across rounds."""
+    when given, (a) the thin selection is pinned BEFORE ranking — global
+    rank's range partitioner samples its input in a separate pass, so an
+    unpinned selection would execute the whole upstream scheduling DAG
+    twice (sampling + main exchange); pinning turns the sampling pass into
+    a cheap scan of the O(selected) checkpoint — and (b) the rank
+    intermediate's persist is dropped as soon as the schedule is
+    materialized, so cached blocks don't accumulate across crawl rounds."""
     registry: list = []
-    ranked = global_rank(
-        selected.select(
-            "url", "url_norm", "url_hash", "host", "priority", "depth",
-            "discovered_batch", "attempt",
-        ),
-        persist_registry=registry,
+    thin = selected.select(
+        "url", "url_norm", "url_hash", "host", "priority", "depth",
+        "discovered_batch", "attempt",
     )
+    if materialize is not None:
+        thin = materialize(thin)
+    ranked = global_rank(thin, persist_registry=registry)
     out = ranked.select(
         F.lit(batch_id).cast("long").alias("batch_id"),
         F.col("rank"),

@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # the state-layout contract joins stored segments on a SUPERSET of
+        # their partition keys ((host_bucket, salt, url_hash) against the
+        # (host_bucket, salt) layout). Since Spark 3.3 co-partitioned joins
+        # demand a FULL-key partitioning match by default, which would
+        # re-exchange BOTH sides; subset-key co-partitioning is exactly the
+        # hash-partitioning guarantee (equal full keys ⇒ equal subset hash),
+        # so relax it — groupBy/window already accept subset keys.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")

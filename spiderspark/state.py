@@ -118,7 +118,32 @@ def materialize_keyed_durable(
         .option("path", path)
         .saveAsTable(name)
     )
-    return spark.table(name)
+    out = spark.table(name)
+    # tag the frame with its catalog identity so superseded segments can be
+    # reclaimed (DROP TABLE alone leaves external-table files behind)
+    out._durable_table = name
+    out._durable_path = path
+    return out
+
+
+def drop_durable_segments(spark: SparkSession, old, new) -> None:
+    """Reclaim durable segment tables in ``old`` that no longer appear in
+    ``new`` (catalog entry + data files). Long durable crawls rewrite every
+    frontier segment each round; without this the workdir grows
+    O(rounds × state) and the catalog leaks a table per segment per round.
+    Non-durable segments (no tag) are ignored, so the call is safe on any
+    segment mix (e.g. after a resume that re-materialized in-memory)."""
+    import shutil
+
+    keep = {getattr(s, "_durable_table", None) for s in new}
+    for s in old:
+        name = getattr(s, "_durable_table", None)
+        if name is None or name in keep:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        path = getattr(s, "_durable_path", None)
+        if path:
+            shutil.rmtree(path, ignore_errors=True)
 
 
 @dataclass(frozen=True)

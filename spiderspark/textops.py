@@ -133,8 +133,8 @@ def text_quality(spark, sf_dir):
     )
 
 
-@q("text_profile")  # rows-only: langid is heuristic, xxhash64 absent in DuckDB
-def text_profile(spark, sf_dir):
+@q("text_profile")  # rows-only: xxhash64 absent in DuckDB (langid has its
+def text_profile(spark, sf_dir):  # own value-checked entry below)
     """Language-ID + content fingerprint in one profile row per document
     (merged from the former separate `langid` / `fingerprint` entries: the
     external driver records at most 50 queries() rows, so the two rows-only
@@ -142,4 +142,41 @@ def text_profile(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return with_fingerprint(with_langid(docs)).select(
         "doc_id", "lang_pred", "fingerprint"
+    )
+
+
+def _marker_count_sql(markers: tuple[str, ...]) -> str:
+    """DuckDB count of word-bounded marker tokens — equals the kernel's sum
+    of per-marker counts because a \\b-bounded token matches at most one
+    marker (the markers are distinct words)."""
+    alt = "|".join(markers)
+    return rf"len(regexp_extract_all(lower(coalesce(text, '')), '\b(?:{alt})\b'))"
+
+
+_LANGID_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN cjk > 0.2 * greatest(length(coalesce(text, '')), 1) THEN 'zh' "
+    "WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
+    # idxmax tie-break = first max in the kernel's column order en,de,fr,es
+    "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
+    "WHEN de >= fr AND de >= es THEN 'de' "
+    "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred "
+    "FROM (SELECT doc_id, text, "
+    + ", ".join(
+        f"{_marker_count_sql(markers)} AS {lang}"
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    + r", len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS cjk "
+    "FROM documents)"
+)
+
+
+@q("langid", _LANGID_SQL)
+def langid(spark, sf_dir):
+    """The marker-count language-ID heuristic, VALUE-CHECKED: pure string
+    ops, so the whole decision procedure (per-language marker counts →
+    first-max tie-break → und floor → CJK override) is reproducible in
+    ANSI SQL over the same documents table."""
+    return with_langid(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
     )

@@ -146,3 +146,52 @@ def test_membership_prefix_topk_superset_and_no_false_negatives(spark, setup):
     assert missing == 0
     # and the pre-selection actually cuts (sanity that it's not a no-op)
     assert kept.count() < keyed.count()
+
+
+def test_membership_prefix_topk_layout_join_matches_broadcast(spark, setup):
+    """join_strategy='layout' (the 10^10 configuration: no driver-sized
+    kept-key object) must select the exact same rows as the broadcast
+    strategy, and its join must move ZERO bytes of the big side: the only
+    hash exchange in the whole plan is the O(kept) key repartition."""
+    from spiderspark.frontier import dedup_within_batch
+    from spiderspark.politeness import join_host_state
+    from spiderspark.schemas import HOST_STATE
+
+    from spiderspark.state import materialize_keyed
+
+    # the real stored-segment layout: (host_bucket, salt) partitioning,
+    # sorted on (host_bucket, salt, url_hash) — what _keyed_mat produces
+    keyed = materialize_keyed(
+        dedup_within_batch(
+            assign_salts_static(
+                seeds_to_frontier(spark, setup["raw"], batch_id=0), setup["salts"]
+            )
+        ),
+        n_parts=N_BUCKETS,
+        key=("host_bucket", "salt"),
+        sort=("host_bucket", "salt", "url_hash"),
+    )
+    budgeted = join_host_state(
+        keyed, spark.createDataFrame([], HOST_STATE), setup["policy"]
+    ).filter(F.col("host_budget") > 0)
+
+    bcast = membership_prefix_topk(
+        budgeted, setup["sk_fused"], join_back=keyed, join_strategy="broadcast"
+    )
+    layout = membership_prefix_topk(
+        budgeted, setup["sk_fused"], join_back=keyed, join_strategy="layout"
+    )
+    a = {(r["url_hash"], r["_maybe"]) for r in bcast.select("url_hash", "_maybe").collect()}
+    b = {(r["url_hash"], r["_maybe"]) for r in layout.select("url_hash", "_maybe").collect()}
+    assert a == b and len(a) > 0
+
+    plan = layout._jdf.queryExecution().executedPlan().toString()
+    # one exchange total: the kept-key repartition. The big side's scan is
+    # layout-satisfied (hash exprs ⊆ join keys, subset co-partitioning via
+    # requireAllClusterKeysForCoPartition=false) → no exchange, no broadcast
+    # of the kept keys anywhere — nothing driver-sized at any frontier size.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastExchange HashedRelationBroadcastMode(List(input[2, bigint" not in plan
+    # and the stored side's sort is elided too (segment sorted on the keys)
+    big_half = plan.split("SortMergeJoin")[1].split("+- Sort")[0]
+    assert "Scan ExistingRDD" in big_half, plan
