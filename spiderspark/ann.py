@@ -38,15 +38,23 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    driver_collect_limit: int = 65_536,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
-    queries_df is collected + broadcast (queries ≪ corpus by assumption);
-    scoring runs as one numpy GEMM per Arrow batch via mapInPandas.
+    Small query sets (≤ ``driver_collect_limit``) are collected + broadcast
+    and scoring runs as one numpy GEMM per Arrow batch via mapInPandas —
+    the fast path. A query set past the limit would be a driver-sized
+    object, so it routes to :func:`brute_force_topk_blocked` instead —
+    same exact result, fully distributed, no driver collect.
     Returns (q_id, n_id, cos) with deterministic (cos desc, n_id) top-k.
     """
     spark = corpus.sparkSession
-    qrows = queries_df.select(id_col, vec_col).collect()
+    qrows = queries_df.select(id_col, vec_col).limit(
+        driver_collect_limit + 1
+    ).collect()
+    if len(qrows) > driver_collect_limit:
+        return brute_force_topk_blocked(corpus, queries_df, k, id_col, vec_col)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
@@ -99,6 +107,66 @@ def brute_force_topk(
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _cos_expr(a, b):
+    """Exact cosine between two array<double> columns — pure JVM HOFs."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda acc, v: acc + v)
+    )
+    return dot / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+
+
+def brute_force_topk_blocked(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k with NO driver-side query object — the
+    large-query-set tier behind :func:`brute_force_topk`.
+
+    The cross product is expressed as a distributed equi-join (the same
+    probes→equi-join shape as the LSH/IVF paths): the corpus gets a block
+    id, every query probes every block via a JVM explode, and each
+    (query, corpus) pair meets exactly once. Top-k is the scheduler's
+    two-phase pattern: rank within (q_id, block) first — the join output is
+    already clustered by block, so phase 1 plans exchange-free and its
+    LITERAL k bound keeps the WindowGroupLimit bounded-sort — then the
+    global per-query window ranks only n_blocks × k rows per query.
+    Shuffle volume is O(|C| + |Q|·n_blocks), never O(|C|·|Q|).
+    """
+    spark = corpus.sparkSession
+    if n_blocks is None:
+        n_blocks = max(spark.sparkContext.defaultParallelism, 8)
+    corpus_b = corpus.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    ).withColumn("block", F.pmod(F.hash("n_id"), F.lit(n_blocks)).cast("int"))
+    probes = queries_df.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("block", F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])))
+    scored = corpus_b.join(probes, "block").withColumn(
+        "cos", _cos_expr(F.col("n_vec"), F.col("q_vec"))
+    )
+    w1 = Window.partitionBy("q_id", "block").orderBy(F.col("cos").desc(), "n_id")
+    local = (
+        scored.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.lit(int(k)))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
+    return (
+        local.withColumn("_rn", F.row_number().over(w2))
         .filter(F.col("_rn") <= k)
         .select("q_id", "n_id", F.round("cos", 4).alias("cos"))
     )
@@ -160,36 +228,9 @@ def lsh_bucketed_topk(
     )
 
     joined = corpus_b.join(probes, "bucket")  # AQE broadcasts a small side
-    cos = (
-        F.aggregate(
-            F.zip_with(
-                F.col("n_vec").cast("array<double>"),
-                "q_vec",
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        / (
-            F.sqrt(
-                F.aggregate(
-                    F.transform(
-                        F.col("n_vec").cast("array<double>"), lambda x: x * x
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            )
-            * F.sqrt(
-                F.aggregate(
-                    F.transform("q_vec", lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-            )
-        )
-    )
-    scored = joined.withColumn("cos", cos).dropDuplicates(["q_id", "n_id"])
+    scored = joined.withColumn(
+        "cos", _cos_expr(F.col("n_vec").cast("array<double>"), F.col("q_vec"))
+    ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -276,16 +317,8 @@ def ivf_topk(
     )
 
     joined = corpus_l.join(probes, "list_id")  # AQE broadcasts a small side
-    dot = F.aggregate(
-        F.zip_with(F.col("n_vec").cast("array<double>"), "q_vec", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
-    )
     scored = joined.withColumn(
-        "cos", dot / (norm(F.col("n_vec").cast("array<double>")) * norm(F.col("q_vec")))
+        "cos", _cos_expr(F.col("n_vec").cast("array<double>"), F.col("q_vec"))
     ).dropDuplicates(["q_id", "n_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "n_id")
     return (
@@ -296,8 +329,9 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
-# driver-contract registrations (float geometry → rows-only checks; the
-# recall property vs brute force is pinned by tests/test_ann.py instead)
+# driver-contract registrations (brute force is EXACT → full DuckDB value
+# oracle; the approximate variants stay rows-only with recall pinned by the
+# planted-neighbor tests)
 # ---------------------------------------------------------------------------
 
 
@@ -306,7 +340,19 @@ def _split(spark, sf_dir):
     return emb.filter(F.col("vec_id") >= 10), emb.filter(F.col("vec_id") < 10)
 
 
-@q("ann_bruteforce")
+@q(
+    "ann_bruteforce",
+    # both sides cast to DOUBLE[] so the only divergence vs the numpy-GEMM
+    # kernel is summation order (~1e-15 — absorbed by round 4); top-k is
+    # deterministic under the shared (cos desc, n_id) order
+    "SELECT q_id, n_id, round(cos, 4) AS cos FROM ("
+    "SELECT q.vec_id AS q_id, c.vec_id AS n_id, "
+    "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])) AS cos "
+    "FROM embeddings c, embeddings q "
+    "WHERE c.vec_id >= 10 AND q.vec_id < 10) "
+    "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 10",
+)
 def ann_bruteforce(spark, sf_dir):
     corpus, queries_df = _split(spark, sf_dir)
     return brute_force_topk(corpus, queries_df, k=10)

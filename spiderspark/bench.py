@@ -262,7 +262,12 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
     pages_df_dist(spark, corpus_size).write.parquet(f"{corpus_dir}/pages")
     pages = spark.read.parquet(f"{corpus_dir}/pages")
     seeds = spark.createDataFrame(seeds_pdf(2000, corpus_size), schema=SEEDS)
-    config = CrawlConfig(policy=HostPolicy(default_budget=2000.0))
+    # SPIDERSPARK_BENCH_DURABLE=1: route state segments through bucketed
+    # parquet tables (fault-tolerant mode) to measure its overhead ratio
+    config = CrawlConfig(
+        policy=HostPolicy(default_budget=2000.0),
+        durable_state=bool(os.environ.get("SPIDERSPARK_BENCH_DURABLE")),
+    )
 
     # warmup round on a small corpus (worker spin-up)
     crawl(spark, seeds.limit(50), pages.limit(5000), None, rounds=1, config=config)
@@ -297,6 +302,7 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
     shutil.rmtree(corpus_dir, ignore_errors=True)
     return {
         "corpus_size": corpus_size,
+        "durable_state": config.durable_state,
         "rounds": rounds,
         "scheduled": scheduled,
         "fetched": fetched,

@@ -98,6 +98,27 @@ def test_ann_bruteforce_exact(spark, vectors):
         assert mine == list(order), f"query {qi}"
 
 
+def test_ann_bruteforce_blocked_matches_gemm(spark, vectors):
+    """The driver-collect-free blocked tier (large-query-set path) must
+    select the exact same neighbors as the GEMM broadcast tier."""
+    from spiderspark.ann import brute_force_topk_blocked
+
+    corpus = vectors.filter("vec_id >= 5")
+    queries = vectors.filter("vec_id < 5")
+    gemm = brute_force_topk(corpus, queries, k=3).toPandas()
+    blocked = brute_force_topk_blocked(corpus, queries, k=3, n_blocks=4).toPandas()
+    a = sorted(map(tuple, gemm[["q_id", "n_id", "cos"]].to_numpy().tolist()))
+    b = sorted(map(tuple, blocked[["q_id", "n_id", "cos"]].to_numpy().tolist()))
+    assert a == b
+    # the routing guard: a query set past the collect limit takes the
+    # blocked path without ever collecting it
+    routed = brute_force_topk(
+        corpus, queries, k=3, driver_collect_limit=2
+    ).toPandas()
+    c = sorted(map(tuple, routed[["q_id", "n_id", "cos"]].to_numpy().tolist()))
+    assert c == a
+
+
 def test_ann_lsh_recall_planted(spark):
     """LSH must recall planted near-duplicates (the actual near-dup use
     case): query i is corpus vector i plus small noise → true nearest
