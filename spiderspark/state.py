@@ -207,8 +207,14 @@ class SegmentedTable:
         return out
 
     def total_rows(self) -> int:
-        # segments are checkpointed — counting is a cheap metadata-ish scan
-        return sum(seg.count() for seg in self.segments)
+        # one job for the whole list: union the (checkpointed) segments and
+        # count once, instead of a driver round-trip per segment
+        if not self.segments:
+            return 0
+        out = self.segments[0]
+        for seg in self.segments[1:]:
+            out = out.unionByName(seg)
+        return out.count()
 
     def anti_probe(self, small: DataFrame) -> DataFrame:
         """``small`` minus rows whose identity appears in ANY segment.
