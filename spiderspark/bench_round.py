@@ -79,6 +79,7 @@ def one_round_fused(
         gated, sketch, join_back=keyed,
         join_strategy=os.environ.get("SPIDERSPARK_BENCH_KEPT_JOIN", "layout"),
     ).localCheckpoint(eager=True)
+    t_kept = time.time() - t2  # gating pass + join-back + checkpoint
     definite = kept.filter(~F.col("_maybe")).drop("_maybe")
     sliver = (
         kept.filter(F.col("_maybe"))
@@ -146,6 +147,7 @@ def one_round_fused(
         "wall_s": round(wall, 3),
         "canon_dedup_s": round(t_canon, 3),
         "schedule_s": round(t_sched, 3),
+        "kept_s": round(t_kept, 3),  # schedule_s sub-term: membership+join
         "sketch_delta_s": round(t_delta, 3),
         "n_scheduled": digest_row["n"],
         "schedule_digest": int(digest_row["d"] or 0),
