@@ -652,7 +652,13 @@ def unpivot_supplier(spark, sf_dir):
     )
 
 
-@q("scan_snapshot")  # rows-only: engine-state op (S2 snapshot time travel)
+@q(
+    "scan_snapshot",
+    # S2 time travel IS value-checkable: snapshot 1 is committed as exactly
+    # the doc_id<100 slice, snapshot 2 as the full table — reading snapshot
+    # 1 back must return the old file set, i.e. precisely this SQL
+    "SELECT doc_id, source FROM documents WHERE doc_id < 100",
+)
 def scan_snapshot(spark, sf_dir):
     """Commit two snapshots of a documents sample, then read the FIRST one
     back — proves snapshot-id time travel returns the old file set."""
