@@ -601,7 +601,14 @@ def membership_prefix_topk(
       barrier job before the join job.
     """
     paths, n_bits, n_hashes = ref.paths, ref.n_bits, ref.n_hashes
-    routing = list(ref.routing) if join_strategy == "layout" else []
+    # layout mode: emit the routing columns that aren't url_hash itself
+    # (url_hash-routed sketches would otherwise emit a duplicate column);
+    # the join always includes url_hash, so join keys ⊇ routing either way
+    routing = (
+        [c for c in ref.routing if c != "url_hash"]
+        if join_strategy == "layout"
+        else []
+    )
 
     def fn(batches):
         fns: dict[int, object] = {}
@@ -665,7 +672,9 @@ def membership_prefix_topk(
     kept_keys = thin.mapInPandas(fn, schema=out_schema)
     big = join_back if join_back is not None else df
     if join_strategy == "layout":
-        kept_keys = kept_keys.repartition(ref.n_buckets, *routing)
+        # repartition on the big side's exact layout columns (ref.routing);
+        # the kept frame carries them all (extras + url_hash)
+        kept_keys = kept_keys.repartition(ref.n_buckets, *ref.routing)
         return big.join(kept_keys, routing + ["url_hash"])
     return big.join(F.broadcast(kept_keys), "url_hash")
 
