@@ -542,6 +542,46 @@ def dedup_against_seen(
 _PREFIX_ORDER = ("priority", "depth", "discovered_batch", "url_hash")
 
 
+def guarded_prefix_keep(
+    hkey: np.ndarray,
+    priority: np.ndarray,
+    depth: np.ndarray,
+    batch: np.ndarray,
+    keys: np.ndarray,
+    maybe: np.ndarray,
+    k: np.ndarray,
+) -> np.ndarray:
+    """The pure selection kernel of membership_prefix_topk: a boolean keep
+    mask over the input rows (any order).
+
+    Rows are walked per host (hkey) in the engine total order; a
+    definite-unseen row (maybe=False) is kept while its definite-rank ≤ its
+    budget k, a maybe-seen row while FEWER than k definite rows precede it
+    within its host. The kept set is an exact superset of the per-host
+    top-k over the truly-unseen rows for ANY truth assignment consistent
+    with `maybe` (Bloom semantics: maybe=False ⇒ definitely unseen).
+    Property-pinned against a brute-force reference in test_fused_schedule.
+    """
+    n = len(keys)
+    out = np.zeros(n, dtype=bool)
+    if not n:
+        return out
+    order = np.lexsort((keys, batch, depth, priority, hkey))
+    g = hkey[order]
+    is_maybe = maybe[order]
+    d_cum = np.cumsum(~is_maybe)
+    changed = np.empty(n, dtype=bool)
+    changed[0] = True
+    np.not_equal(g[1:], g[:-1], out=changed[1:])
+    run_start = np.flatnonzero(changed)
+    run_id = np.cumsum(changed) - 1
+    run_base = np.concatenate(([0], d_cum[run_start[1:] - 1]))
+    d_incl = d_cum - run_base[run_id]
+    keep = (d_incl + is_maybe.astype(np.int64)) <= k[order]
+    out[order[keep]] = True
+    return out
+
+
 def membership_prefix_topk(
     df: DataFrame,
     ref: SketchRef,
@@ -628,29 +668,17 @@ def membership_prefix_topk(
                 m = buckets == b
                 maybe[m] = f(keys[m])
 
-            order = np.lexsort(
-                (
-                    keys,
-                    pdf["discovered_batch"].to_numpy(),
-                    pdf["depth"].to_numpy(),
-                    pdf["priority"].to_numpy(),
+            sel = np.flatnonzero(
+                guarded_prefix_keep(
                     pdf["_hkey"].to_numpy(),
+                    pdf["priority"].to_numpy(),
+                    pdf["depth"].to_numpy(),
+                    pdf["discovered_batch"].to_numpy(),
+                    keys,
+                    maybe,
+                    pdf[k_col].to_numpy(),
                 )
             )
-            g = pdf["_hkey"].to_numpy()[order]
-            is_maybe = maybe[order]
-            d_cum = np.cumsum(~is_maybe)
-            # segmented cumsum: definite-rank within each host run
-            changed = np.empty(n, dtype=bool)
-            changed[0] = True
-            np.not_equal(g[1:], g[:-1], out=changed[1:])
-            run_start = np.flatnonzero(changed)
-            run_id = np.cumsum(changed) - 1
-            run_base = np.concatenate(([0], d_cum[run_start[1:] - 1]))
-            d_incl = d_cum - run_base[run_id]
-            k_f = pdf[k_col].to_numpy()[order]
-            keep = (d_incl + is_maybe.astype(np.int64)) <= k_f
-            sel = order[keep]
             out = {c: pdf[c].to_numpy()[sel] for c in routing}
             out["url_hash"] = keys[sel]
             out["_maybe"] = maybe[sel]

@@ -12,7 +12,9 @@ pass sees only the thin numeric projection.
 import os
 import tempfile
 
+import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from spiderspark.bench import frontier_urls_dist
@@ -195,3 +197,70 @@ def test_membership_prefix_topk_layout_join_matches_broadcast(spark, setup):
     # and the stored side's sort is elided too (segment sorted on the keys)
     big_half = plan.split("SortMergeJoin")[1].split("+- Sort")[0]
     assert "Scan ExistingRDD" in big_half, plan
+
+
+# ---------------------------------------------------------------------------
+# property pin of the pure selection kernel (no Spark)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _kernel_inputs(draw):
+    n = draw(st.integers(min_value=0, max_value=60))
+    ints = lambda lo, hi: st.lists(  # noqa: E731
+        st.integers(min_value=lo, max_value=hi), min_size=n, max_size=n
+    )
+    hkey = np.array(draw(ints(0, 3)), dtype=np.int64)
+    prio = np.array(draw(ints(0, 3)), dtype=np.float64)
+    depth = np.array(draw(ints(0, 2)), dtype=np.int64)
+    batch = np.array(draw(ints(0, 2)), dtype=np.int64)
+    keys = np.array(draw(st.permutations(range(n))) if n else [], dtype=np.int64)
+    maybe = np.array(draw(ints(0, 1)), dtype=bool)
+    # budget is a per-HOST quantity in the engine (politeness join) — model
+    # that: one k per host, broadcast to rows
+    k_by_host = {h: draw(st.integers(min_value=0, max_value=5)) for h in range(4)}
+    k = np.array([k_by_host[int(h)] for h in hkey], dtype=np.int64)
+    return hkey, prio, depth, batch, keys, maybe, k
+
+
+@settings(max_examples=300, deadline=None)
+@given(_kernel_inputs(), st.randoms(use_true_random=False))
+def test_guarded_prefix_keep_is_exact_superset(inputs, rng):
+    """For ANY truth assignment consistent with the sketch semantics
+    (maybe=False ⇒ definitely unseen; maybe=True ⇒ seen or unseen), the
+    true per-host top-k over unseen rows must be contained in the kept
+    set — the exactness argument of membership_prefix_topk, pinned on
+    randomized inputs against a brute-force reference."""
+    from spiderspark.frontier import guarded_prefix_keep
+
+    hkey, prio, depth, batch, keys, maybe, k = inputs
+    keep = guarded_prefix_keep(hkey, prio, depth, batch, keys, maybe, k)
+
+    # brute-force reference of the keep rule itself
+    n = len(keys)
+    ref = np.zeros(n, dtype=bool)
+    for h in set(hkey.tolist()):
+        rows = sorted(
+            np.flatnonzero(hkey == h),
+            key=lambda i: (prio[i], depth[i], batch[i], keys[i]),
+        )
+        d = 0
+        for i in rows:
+            if maybe[i]:
+                if d < k[i]:
+                    ref[i] = True
+            else:
+                d += 1
+                if d <= k[i]:
+                    ref[i] = True
+    assert np.array_equal(keep, ref)
+
+    # superset property under a random truth assignment
+    seen = np.array([bool(m) and rng.random() < 0.5 for m in maybe])
+    for h in set(hkey.tolist()):
+        unseen = [i for i in np.flatnonzero(hkey == h) if not seen[i]]
+        unseen.sort(key=lambda i: (prio[i], depth[i], batch[i], keys[i]))
+        top = unseen[: k[unseen[0]]] if unseen else []
+        for i in top:
+            assert keep[i], (
+                f"true top-budget row {i} of host {h} was cut by the prefix rule"
+            )
