@@ -326,6 +326,7 @@ def main(argv=None):
     ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/scaling_last_run.md")
     ap.add_argument("--weak", action="store_true", help="with --scaling: weak-scaling variant (input scales with cores; per-core volume constant — the per-executor-resources-constant cluster proxy)")
     ap.add_argument("--crawl", action="store_true", help="run the end-to-end crawl-loop benchmark instead")
+    ap.add_argument("--crawl-corpus", type=int, default=200_000, help="corpus pages for --crawl")
     args = ap.parse_args(argv)
 
     if args.scaling:
@@ -349,7 +350,7 @@ def main(argv=None):
         shuffle_partitions=args.cores * 2, extra=extra,
     )
     if args.crawl:
-        res = run_crawl_bench(spark)
+        res = run_crawl_bench(spark, corpus_size=args.crawl_corpus)
         print(json.dumps({
             "metric": "crawl_pages_fetched_per_sec",
             "value": res["pages_fetched_per_sec"],
