@@ -323,7 +323,9 @@ def main(argv=None):
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--frontier", type=int, default=int(os.environ.get("SPIDERSPARK_BENCH_FRONTIER", "2000000")))
     ap.add_argument("--headline-only", action="store_true")
-    ap.add_argument("--scaling", action="store_true", help="run local[8] vs local[32] subprocesses, write BENCH/scaling_last_run.md")
+    ap.add_argument("--scaling", action="store_true", help="run local[lo] vs local[hi] subprocesses, write BENCH/scaling_last_run.md")
+    ap.add_argument("--lo", type=int, default=8, help="with --scaling: N cores (criterion compares N vs 4N)")
+    ap.add_argument("--hi", type=int, default=32, help="with --scaling: 4N cores")
     ap.add_argument("--weak", action="store_true", help="with --scaling: weak-scaling variant (input scales with cores; per-core volume constant — the per-executor-resources-constant cluster proxy)")
     ap.add_argument("--crawl", action="store_true", help="run the end-to-end crawl-loop benchmark instead")
     ap.add_argument("--crawl-corpus", type=int, default=200_000, help="corpus pages for --crawl")
@@ -399,7 +401,8 @@ def run_scaling(args):
     so each level's rate is the MIN wall across interleaved runs — transient
     contention hits both levels symmetrically."""
     n = args.frontier
-    lo, hi = 8, 32
+    lo, hi = getattr(args, "lo", 8), getattr(args, "hi", 32)
+    assert hi == 4 * lo, "the criterion compares N vs 4N cores"
     passes = int(os.environ.get("SPIDERSPARK_SCALING_PASSES", "2"))
     crawl = bool(getattr(args, "crawl", False))
     weak = bool(getattr(args, "weak", False))
@@ -428,18 +431,20 @@ def run_scaling(args):
         invariant = len(digests) == 1
     result = {
         "metric": (
-            "weak_scaling_efficiency_8_to_32_cores"
+            f"weak_scaling_efficiency_{lo}_to_{hi}_cores"
             if weak
-            else "crawl_loop_scaling_efficiency_8_to_32_cores"
+            else f"crawl_loop_scaling_efficiency_{lo}_to_{hi}_cores"
             if crawl
-            else "scaling_efficiency_8_to_32_cores"
+            else f"scaling_efficiency_{lo}_to_{hi}_cores"
         ),
         "value": round(eff, 3),
         "unit": "ratio",
-        "rate_8": r_lo["value"],
-        "rate_32": r_hi["value"],
-        "all_rates_8": [r["value"] for r in runs_lo],
-        "all_rates_32": [r["value"] for r in runs_hi],
+        "cores_lo": lo,
+        "cores_hi": hi,
+        "rate_lo": r_lo["value"],
+        "rate_hi": r_hi["value"],
+        "all_rates_lo": [r["value"] for r in runs_lo],
+        "all_rates_hi": [r["value"] for r in runs_hi],
         "n_frontier": n,
         "schedule_parallelism_invariant": invariant,
     }
@@ -464,10 +469,10 @@ the same scheduling+dedup job, same deterministic input
 
 | cores | frontier URLs/s | wall s | canon+dedup s | schedule s | sketch delta s |
 | --- | --- | --- | --- | --- | --- |
-| 8  | {r_lo['value']:,} | {r_lo['headline_wall_sec']} | {r_lo['detail'].get('canon_dedup_s', '-')} | {r_lo['detail'].get('schedule_s', '-')} | {r_lo['detail'].get('sketch_delta_s', '-')} |
-| 32 | {r_hi['value']:,} | {r_hi['headline_wall_sec']} | {r_hi['detail'].get('canon_dedup_s', '-')} | {r_hi['detail'].get('schedule_s', '-')} | {r_hi['detail'].get('sketch_delta_s', '-')} |
+| {res['cores_lo']}  | {r_lo['value']:,} | {r_lo['headline_wall_sec']} | {r_lo['detail'].get('canon_dedup_s', '-')} | {r_lo['detail'].get('schedule_s', '-')} | {r_lo['detail'].get('sketch_delta_s', '-')} |
+| {res['cores_hi']} | {r_hi['value']:,} | {r_hi['headline_wall_sec']} | {r_hi['detail'].get('canon_dedup_s', '-')} | {r_hi['detail'].get('schedule_s', '-')} | {r_hi['detail'].get('sketch_delta_s', '-')} |
 
-**Scaling efficiency (8 → 32 cores, 4×): {res['value']}** (criterion ≥ 0.8).
+**Scaling efficiency ({res['cores_lo']} → {res['cores_hi']} cores, 4×): {res['value']}** (criterion ≥ 0.8).
 
 Parallelism-invariance: the two runs produced **{"identical" if res.get('schedule_parallelism_invariant') else "DIFFERENT"}**
 schedules (same (rank → url_hash) digest) — the crawl-ordering invariant
