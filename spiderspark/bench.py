@@ -13,8 +13,10 @@ work, and uses the Zipf host distribution so the skew-split path is
 exercised.
 
 Scaling evidence (BASELINE.json:2 "N → 4N executors ≥ 0.8"): no cluster in
-this sandbox, so `--scaling` runs the SAME job in two fresh subprocesses at
-local[8] and local[32] and reports rate ratios (driver-mandated proxy).
+this sandbox, so `--scaling` runs the SAME job in two fresh CPU-pinned
+subprocesses at local[N] and local[4N] (`--lo/--hi`, default 8/32) and
+reports rate ratios (driver-mandated proxy); `--weak` holds per-core volume
+constant instead.
 """
 
 from __future__ import annotations
