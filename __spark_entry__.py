@@ -50,9 +50,12 @@ def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
         F.col("doc_id").cast("double").alias("priority"),
     )
+    # lower(source): the engine lowercases hosts during canonicalization, so
+    # the "already-canonical" variant must too — keeps the oracle's closed
+    # form (lower(source) || '.example') exact for ANY source casing
     clean = docs.select(
         F.concat(
-            F.lit("http://"), F.col("source"), F.lit(".example/d/"),
+            F.lit("http://"), F.lower("source"), F.lit(".example/d/"),
             F.col("doc_id"), F.lit("?x=~"),
         ).alias("url"),
         F.col("doc_id").cast("double").alias("priority"),
@@ -60,67 +63,142 @@ def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return messy.unionByName(clean)
 
 
-def schedule_round_df(spark: SparkSession, sf_dir: str, budget: float = 8.0) -> DataFrame:
-    """One scheduling round of the real engine over testdata-derived seeds."""
-    from spiderspark.crawl import CrawlConfig, init_state
-    from spiderspark.frontier import dedup_against_seen
-    from spiderspark.politeness import HostPolicy, join_host_state, robots_gate
-    from spiderspark.schedule import assign_salts, per_host_topk, to_schedule
+def _pre_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 7th document's canonical URL — a deterministic pre-seen set, so
+    the flagship's seen anti-join / sketch membership do real work and the
+    oracle can mirror the exclusion as ``doc_id % 7 <> 0``."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.concat(
+            F.lit("http://"), F.lower("source"), F.lit(".example/d/"),
+            F.col("doc_id"), F.lit("?x=~"),
+        ).alias("url")
+    )
+
+
+def schedule_round_df(
+    spark: SparkSession, sf_dir: str, budget: float = 8.0, fused: bool = True
+) -> DataFrame:
+    """One scheduling round of the real engine (crawl.select_round — the
+    same code crawl_round runs) over testdata-derived seeds, against a
+    pre-seen set covering every 7th document.
+
+    ``fused=True`` (the production configuration): the pre-seen keys are
+    folded into a bucket-partitioned Bloom sketch delta routed by the
+    frontier's (host_bucket, salt) layout, and selection runs the fused
+    membership + guarded-prefix + layout-kept-join pipeline — the exact
+    path the engine runs at 10^10-frontier scale. ``fused=False`` runs the
+    exact-tier fallback (chained co-partitioned anti-joins + classic
+    two-phase window). Both produce the identical schedule: the sketch has
+    no false negatives and the maybe-seen sliver is exactly anti-joined."""
+    import dataclasses
+
+    from spiderspark.crawl import CrawlConfig, init_state, select_round
+    from spiderspark.frontier import with_canonical, write_sketch_delta
+    from spiderspark.politeness import HostPolicy
+    from spiderspark.schedule import assign_salts_static, to_schedule
+    from spiderspark.state import SegmentedTable
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    config = CrawlConfig(policy=HostPolicy(default_budget=budget), use_bloom=False)
+    # the layout kept-join's zero-exchange plan needs subset-key
+    # co-partitioning (session.py default; the DRIVER's session may lack it)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    config = CrawlConfig(policy=HostPolicy(default_budget=budget), use_bloom=fused)
     state = init_state(spark, _documents_as_seeds(spark, sf_dir), None, config)
-    candidates = dedup_against_seen(spark, state.frontier, state.seen, state.sketch)
-    budgeted = join_host_state(candidates, state.host_state, config.policy)
-    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
-    selected = per_host_topk(assign_salts(gated), "host_budget", k_cap=state.k_cap)
+
+    seen_rows = with_canonical(_pre_seen_urls(spark, sf_dir))
+    seen = SegmentedTable.from_df(
+        seen_rows.select(
+            "url_hash", F.lit(0).cast("long").alias("first_batch")
+        ),
+        n_parts=config.state_buckets,
+    )
+    sketch = state.sketch
+    if fused:
+        # route the seen keys exactly as a frontier row for the same url
+        # would be routed (static salt from the crawl's salt table), so the
+        # membership task finds the bits in its own bucket slice
+        routed = assign_salts_static(seen_rows, state.salts).repartition(
+            config.state_buckets, *sketch.routing
+        )
+        sketch = write_sketch_delta(
+            routed,
+            os.path.join(state.workdir, "sketch_delta_preseen"),
+            sketch,
+            assume_keyed_layout=True,
+        )
+    state = dataclasses.replace(state, seen=seen, sketch=sketch)
+    selected = select_round(spark, state, config)
     return to_schedule(selected, batch_id=1)
 
 
 def crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship, VALUE-CHECKED: the full engine path (canonicalize →
-    hash → within-batch dedup → seen anti-join → politeness budget →
-    skew-salted per-host top-k → deterministic global rank), projected
-    without the url_hash column so every remaining column is exactly
-    reproducible by the composed ANSI-SQL oracle below (canonicalization
-    closed form + per-host row_number ≤ budget + global row_number — the
-    same three pieces proven green individually as `canonicalize_urls`,
-    `window_rank_per_host`, `order_frontier`). xxhash64 value parity is
-    pinned by tests/test_hashing.py; the seeds' unique priorities make the
-    schedule independent of the hash tie-break (see _documents_as_seeds)."""
-    return schedule_round_df(spark, sf_dir).drop("url_hash")
+    """The flagship, VALUE-CHECKED on BOTH scheduler tiers: the full engine
+    path (canonicalize → hash → within-batch dedup → seen anti-join /
+    sketch membership → politeness budget → skew-salted per-host top-k →
+    deterministic global rank) run twice — once through the exact-tier
+    fallback and once through the FUSED membership + guarded-prefix +
+    layout-kept-join pipeline that carries the engine at 10^10 scale — each
+    tagged with its ``path``. The two tiers are provably schedule-identical
+    (Bloom has no false negatives; the maybe sliver is exactly anti-joined;
+    the guarded prefix is an exact superset — test_fused_schedule), so ONE
+    path-independent SQL oracle checks both: canonicalization closed form +
+    seen exclusion (doc_id % 7) + per-host row_number ≤ budget + global
+    row_number, cross-joined with the two path tags. url_hash is dropped
+    from the projection (DuckDB lacks xxhash64; hash values are pinned by
+    tests/test_hashing.py); the seeds' unique priorities make the schedule
+    independent of the hash tie-break (see _documents_as_seeds)."""
+    exact = schedule_round_df(spark, sf_dir, fused=False).drop("url_hash")
+    fused = schedule_round_df(spark, sf_dir, fused=True).drop("url_hash")
+    return exact.withColumn("path", F.lit("exact")).unionByName(
+        fused.withColumn("path", F.lit("fused"))
+    )
 
 
 _CRAWL_SCHEDULE_ORACLE = """
 WITH seeds AS (
   SELECT 'HTTP://' || upper(source) || '.Example:80/a/../d/' || doc_id
            || '?x=%7e' AS url,
-         'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm,
-         source || '.example' AS host,
-         CAST(doc_id AS DOUBLE) AS priority
+         'http://' || lower(source) || '.example/d/' || doc_id
+           || '?x=~' AS url_norm,
+         lower(source) || '.example' AS host,
+         CAST(doc_id AS DOUBLE) AS priority,
+         doc_id
   FROM documents
   UNION ALL
-  SELECT 'http://' || source || '.example/d/' || doc_id || '?x=~' AS url,
-         'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm,
-         source || '.example' AS host,
-         CAST(doc_id AS DOUBLE) AS priority
+  SELECT 'http://' || lower(source) || '.example/d/' || doc_id
+           || '?x=~' AS url,
+         'http://' || lower(source) || '.example/d/' || doc_id
+           || '?x=~' AS url_norm,
+         lower(source) || '.example' AS host,
+         CAST(doc_id AS DOUBLE) AS priority,
+         doc_id
   FROM documents
 ), dedup AS (
   -- within-batch dedup keeps the min-(priority, ..., url) row per canonical
-  -- url; priorities tie between the two variants, so min(url) decides
+  -- url; priorities tie between the two variants, so min(url) decides.
+  -- doc_id % 7 = 0 docs are in the PRE-SEEN set (both variants collapse to
+  -- the same canonical url, whose hash the seen table / sketch carries)
   SELECT min(url) AS url, url_norm, host, min(priority) AS priority
-  FROM seeds GROUP BY url_norm, host
+  FROM seeds WHERE doc_id % 7 <> 0 GROUP BY url_norm, host
 ), topk AS (
-  -- politeness: default budget 8/host, no robots, empty seen set
+  -- politeness: default budget 8/host, no robots
   SELECT * FROM dedup
   QUALIFY row_number() OVER (PARTITION BY host ORDER BY priority) <= 8
+), sched AS (
+  SELECT CAST(1 AS BIGINT) AS batch_id,
+         row_number() OVER (ORDER BY priority) AS rank,
+         url, url_norm, host, priority,
+         CAST(0 AS INTEGER) AS depth,
+         CAST(0 AS INTEGER) AS attempt
+  FROM topk
 )
-SELECT CAST(1 AS BIGINT) AS batch_id,
-       row_number() OVER (ORDER BY priority) AS rank,
-       url, url_norm, host, priority,
-       CAST(0 AS INTEGER) AS depth,
-       CAST(0 AS INTEGER) AS attempt
-FROM topk
+-- both scheduler tiers (exact fallback + fused sketch pipeline) must emit
+-- the identical schedule; the engine runs each and tags its rows
+SELECT sched.*, tiers.path
+FROM sched CROSS JOIN (
+  SELECT 'exact' AS path UNION ALL SELECT 'fused'
+) tiers
 """
 
 

@@ -39,6 +39,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     driver_collect_limit: int = 65_536,
+    n_queries_hint: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of each query against the corpus.
 
@@ -47,8 +48,13 @@ def brute_force_topk(
     the fast path. A query set past the limit would be a driver-sized
     object, so it routes to :func:`brute_force_topk_blocked` instead —
     same exact result, fully distributed, no driver collect.
+    ``n_queries_hint``: callers that already know the query-set size can
+    pass it to skip the bounded probe collect when it exceeds the limit
+    (the hint only short-circuits the routing; exactness is unaffected).
     Returns (q_id, n_id, cos) with deterministic (cos desc, n_id) top-k.
     """
+    if n_queries_hint is not None and n_queries_hint > driver_collect_limit:
+        return brute_force_topk_blocked(corpus, queries_df, k, id_col, vec_col)
     spark = corpus.sparkSession
     qrows = queries_df.select(id_col, vec_col).limit(
         driver_collect_limit + 1
@@ -342,13 +348,22 @@ def _split(spark, sf_dir):
 
 @q(
     "ann_bruteforce",
-    # both sides cast to DOUBLE[] so the only divergence vs the numpy-GEMM
-    # kernel is summation order (~1e-15 — absorbed by round 4); top-k is
-    # deterministic under the shared (cos desc, n_id) order
+    # explicit dot/norm formula (not list_cosine_similarity) so the engine's
+    # zero-norm clamp is mirrored exactly: greatest(‖c‖·‖q‖, 1e-12) — a zero
+    # embedding scores 0.0 on both sides instead of NaN in DuckDB only.
+    # Both sides cast to DOUBLE[] so the only remaining divergence vs the
+    # numpy-GEMM kernel is summation order (~1e-15 — absorbed by round 4; a
+    # cosine sitting EXACTLY on a .00005 boundary could still flip the
+    # rounded digit — accepted: probability ~0 for continuous test vectors);
+    # top-k is deterministic under the shared (cos desc, n_id) order
     "SELECT q_id, n_id, round(cos, 4) AS cos FROM ("
     "SELECT q.vec_id AS q_id, c.vec_id AS n_id, "
-    "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), "
-    "CAST(q.embedding AS DOUBLE[])) AS cos "
+    "list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[])) / greatest("
+    "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[]))), 1e-12) AS cos "
     "FROM embeddings c, embeddings q "
     "WHERE c.vec_id >= 10 AND q.vec_id < 10) "
     "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 10",

@@ -263,28 +263,23 @@ def keyed_pages(pages: DataFrame, n_parts: int | None = None) -> DataFrame:
     return materialize_keyed(keyed, n_parts)
 
 
-def crawl_round(
-    spark: SparkSession,
-    state: CrawlState,
-    pages: DataFrame,
-    config: CrawlConfig,
-    store: SnapshotStore | None = None,
-) -> tuple[CrawlState, DataFrame, DataFrame]:
-    """Run one round; returns (state', schedule, fetch_log)."""
-    batch_id = state.batch_id + 1
-    n = config.state_buckets
+def select_round(
+    spark: SparkSession, state: CrawlState, config: CrawlConfig
+) -> DataFrame:
+    """Steps 1-4 of a crawl round: dedup + politeness + per-host budget
+    selection over the current state — the scheduling core, factored out so
+    the driver contract (``__spark_entry__.schedule_round_df``) value-checks
+    the EXACT code path ``crawl_round`` runs, fused tier included.
 
-    # 1-4. dedup + politeness + per-host budget selection.
-    #
-    # Sketch path (the scale path): politeness/robots gate each stored
-    # segment in place (broadcast joins — layout preserved), then ONE
-    # partition-local pass fuses bloom membership with the exact guarded-
-    # prefix budget pre-selection (frontier.membership_prefix_topk) — the
-    # big frontier segments are never exchanged AND never fully ranked;
-    # only the O(hosts × budget) kept set moves: the maybe-seen sliver to
-    # the seen layout for the exact anti-join, the survivors into the final
-    # per-host window. k_cap is a config-constant literal (max capacity
-    # never grows past init) → WindowGroupLimit bounds the final sort.
+    Sketch path (the scale path): politeness/robots gate each stored
+    segment in place (broadcast joins — layout preserved), then ONE
+    partition-local pass fuses bloom membership with the exact guarded-
+    prefix budget pre-selection (frontier.membership_prefix_topk) — the
+    big frontier segments are never exchanged AND never fully ranked;
+    only the O(hosts × budget) kept set moves: the maybe-seen sliver to
+    the seen layout for the exact anti-join, the survivors into the final
+    per-host window. k_cap is a config-constant literal (max capacity
+    never grows past init) → WindowGroupLimit bounds the final sort."""
     use_fused = state.sketch is not None and len(state.sketch.paths) > 0
     if use_fused:
         survivor_parts = []
@@ -333,6 +328,22 @@ def crawl_round(
         budgeted = join_host_state(candidates, state.host_state, config.policy)
         gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
         selected = per_host_topk(gated, "host_budget", k_cap=state.k_cap)
+    return selected
+
+
+def crawl_round(
+    spark: SparkSession,
+    state: CrawlState,
+    pages: DataFrame,
+    config: CrawlConfig,
+    store: SnapshotStore | None = None,
+) -> tuple[CrawlState, DataFrame, DataFrame]:
+    """Run one round; returns (state', schedule, fetch_log)."""
+    batch_id = state.batch_id + 1
+    n = config.state_buckets
+
+    # 1-4. dedup + politeness + per-host budget selection (see select_round)
+    selected = select_round(spark, state, config)
 
     # 5. deterministic total order → the round's schedule (the invariant unit)
     schedule = to_schedule(selected, batch_id, materialize=_materialize)

@@ -385,6 +385,75 @@ def compact_sketch(spark, ref: SketchRef, out_path: str) -> SketchRef:
     )
 
 
+def sketch_delete(
+    spark, ref: SketchRef, keys_df: DataFrame, out_path: str
+) -> SketchRef:
+    """Distributed deletion from the URL-seen sketch — the capability the
+    CUCKOO tier exists for (re-crawl-after-TTL: expired URLs leave the seen
+    sketch so the scheduler will consider them again; a Bloom filter cannot
+    unset bits, so the bloom tier raises).
+
+    ``keys_df`` must carry url_hash plus ref.routing's columns (the same
+    shape ``write_sketch_delta`` takes). Execution is a cogrouped pass per
+    bucket: the keys route by the sketch bucket function, meet ALL of that
+    bucket's filter rows (base + deltas), and each pending key is deleted
+    from the FIRST filter that contains its fingerprint — at most one
+    removal per key, so a URL inserted once cannot be over-deleted across
+    delta generations. Every bucket's rows are rewritten to ``out_path``
+    (hive-partitioned like any delta), and the returned ref's path list
+    collapses to it — deletion doubles as a compaction. Nothing is ever
+    driver-sized; the pass moves O(keys) plus each bucket's own slice.
+
+    Cuckoo caveat (inherent to the construction, documented at
+    sketch.CuckooFilter.delete): deleting a key that was NEVER inserted can
+    evict another key sharing its (bucket, fingerprint); callers must only
+    delete URLs they know entered the seen set — the TTL deployment
+    satisfies this by construction."""
+    if ref.kind != "cuckoo":
+        raise ValueError(
+            "sketch deletion requires the cuckoo tier "
+            "(CrawlConfig(sketch_kind='cuckoo')); bloom filters cannot delete"
+        )
+    from .sketch import CuckooFilter
+
+    cols = list(dict.fromkeys(("url_hash",) + ref.routing))
+    keys = keys_df.select(*cols).withColumn(
+        "_bucket", sketch_bucket_col(ref.n_buckets, *ref.routing)
+    )
+    rows = sketch_df(spark, ref)
+
+    def del_fn(kpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(rpdf) or not len(kpdf):
+            return rpdf  # no filters here, or nothing to delete: unchanged
+        pending = kpdf["url_hash"].to_numpy()
+        new_bits = []
+        for _, row in rpdf.iterrows():
+            if row["kind"] != "cuckoo":
+                raise ValueError(
+                    f"bucket {row['bucket']} holds a {row['kind']} row; "
+                    "deletion is only defined on an all-cuckoo sketch"
+                )
+            f = CuckooFilter.from_bytes(row["bits"], int(row["n_bits"]))
+            if len(pending):
+                deleted = f.delete(pending)
+                pending = pending[~deleted]
+            new_bits.append(f.to_bytes())
+        out = rpdf.copy()
+        out["bits"] = new_bits
+        return out
+
+    merged = (
+        keys.groupBy("_bucket")
+        .cogroup(rows.groupBy("bucket"))
+        .applyInPandas(del_fn, schema=_PARTIAL_SCHEMA)
+    )
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    return SketchRef(
+        (out_path,), ref.n_buckets, ref.n_bits, ref.n_hashes,
+        ref.routing, ref.kind,
+    )
+
+
 def _load_bucket_rows(paths, bucket: int):
     """Worker-side: this bucket's (kind, bits, n_bits, n_hashes) rows across
     all sketch directories — the task touches ONLY its bucket's slices."""

@@ -118,32 +118,55 @@ def materialize_keyed_durable(
         .option("path", path)
         .saveAsTable(name)
     )
-    out = spark.table(name)
-    # tag the frame with its catalog identity so superseded segments can be
-    # reclaimed (DROP TABLE alone leaves external-table files behind)
-    out._durable_table = name
-    out._durable_path = path
-    return out
+    # register the catalog identity so superseded segments can be reclaimed
+    # (DROP TABLE alone leaves external-table files behind)
+    _DURABLE_TABLES[name] = path
+    return spark.table(name)
+
+
+# every durable segment table this process created: name -> data path. The
+# reclaim pass only ever drops tables from this registry, so nothing else
+# living under the workdir (sketch deltas, snapshot store) can be touched.
+_DURABLE_TABLES: dict[str, str] = {}
+
+
+def _referenced_durables(df: DataFrame) -> set[str]:
+    """The durable segment tables whose data files ``df``'s plan reads —
+    identity derived from the PLAN (``inputFiles``), not from a Python
+    attribute tagged onto the frame, so a segment that was re-wrapped,
+    re-selected, or re-read from disk still protects its files. Bucketed
+    segment tables store their files directly under ``<base>/<name>/``, so
+    the parent directory's basename is the catalog name."""
+    try:
+        files = df.inputFiles()
+    except Exception:  # e.g. a localCheckpoint-backed frame: no files
+        return set()
+    return {
+        name
+        for name in (os.path.basename(os.path.dirname(f)) for f in files)
+        if name in _DURABLE_TABLES
+    }
 
 
 def drop_durable_segments(spark: SparkSession, old, new) -> None:
-    """Reclaim durable segment tables in ``old`` that no longer appear in
-    ``new`` (catalog entry + data files). Long durable crawls rewrite every
-    frontier segment each round; without this the workdir grows
+    """Reclaim durable segment tables referenced by ``old`` but by no frame
+    in ``new`` (catalog entry + data files). Long durable crawls rewrite
+    every frontier segment each round; without this the workdir grows
     O(rounds × state) and the catalog leaks a table per segment per round.
-    Non-durable segments (no tag) are ignored, so the call is safe on any
-    segment mix (e.g. after a resume that re-materialized in-memory)."""
+    Non-durable segments (no registered files) are ignored, so the call is
+    safe on any segment mix (e.g. after a resume that re-materialized
+    in-memory)."""
     import shutil
 
-    keep = {getattr(s, "_durable_table", None) for s in new}
+    keep: set[str] = set()
+    for s in new:
+        keep |= _referenced_durables(s)
+    drop: set[str] = set()
     for s in old:
-        name = getattr(s, "_durable_table", None)
-        if name is None or name in keep:
-            continue
+        drop |= _referenced_durables(s)
+    for name in drop - keep:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        path = getattr(s, "_durable_path", None)
-        if path:
-            shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(_DURABLE_TABLES.pop(name), ignore_errors=True)
 
 
 @dataclass(frozen=True)

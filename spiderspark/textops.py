@@ -67,14 +67,21 @@ _LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 @F.pandas_udf(T.StringType())
 def langid_udf(text: pd.Series) -> pd.Series:
-    """Vectorized marker-count heuristic; CJK codepoint share → zh."""
+    """Vectorized marker-count heuristic; CJK codepoint share → zh.
+
+    ``re.ASCII`` pins ``\\b`` to the ASCII word chars [A-Za-z0-9_] — the
+    semantics DuckDB's RE2 oracle uses unconditionally — so a marker
+    substring abutting an accented letter (e.g. 'la' in 'laïque') counts
+    identically on both sides for non-ASCII text."""
+    import re
+
     s = text.fillna("")
     lower = s.str.lower()
     scores = {}
     for lang, markers in _LANG_MARKERS.items():
         total = None
         for m in markers:
-            c = lower.str.count(rf"\b{m}\b")
+            c = lower.str.count(rf"\b{m}\b", flags=re.ASCII)
             total = c if total is None else total + c
         scores[lang] = total
     score_df = pd.DataFrame(scores)
@@ -133,18 +140,6 @@ def text_quality(spark, sf_dir):
     )
 
 
-@q("text_profile")  # rows-only: xxhash64 absent in DuckDB (langid has its
-def text_profile(spark, sf_dir):  # own value-checked entry below)
-    """Language-ID + content fingerprint in one profile row per document
-    (merged from the former separate `langid` / `fingerprint` entries: the
-    external driver records at most 50 queries() rows, so the two rows-only
-    text ops share one — both kernels still unit-tested separately)."""
-    docs = _t(spark, sf_dir, "documents")
-    return with_fingerprint(with_langid(docs)).select(
-        "doc_id", "lang_pred", "fingerprint"
-    )
-
-
 def _marker_count_sql(markers: tuple[str, ...]) -> str:
     """DuckDB count of word-bounded marker tokens — equals the kernel's sum
     of per-marker counts because a \\b-bounded token matches at most one
@@ -153,22 +148,26 @@ def _marker_count_sql(markers: tuple[str, ...]) -> str:
     return rf"len(regexp_extract_all(lower(coalesce(text, '')), '\b(?:{alt})\b'))"
 
 
-_LANGID_SQL = (
-    "SELECT doc_id, "
+_LANGID_CASE = (
     "CASE WHEN cjk > 0.2 * greatest(length(coalesce(text, '')), 1) THEN 'zh' "
     "WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
     # idxmax tie-break = first max in the kernel's column order en,de,fr,es
     "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
     "WHEN de >= fr AND de >= es THEN 'de' "
     "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred "
-    "FROM (SELECT doc_id, text, "
+)
+
+_LANGID_INNER = (
+    "SELECT doc_id, text, "
     + ", ".join(
         f"{_marker_count_sql(markers)} AS {lang}"
         for lang, markers in _LANG_MARKERS.items()
     )
     + r", len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS cjk "
-    "FROM documents)"
+    "FROM documents"
 )
+
+_LANGID_SQL = f"SELECT doc_id, {_LANGID_CASE} FROM ({_LANGID_INNER})"
 
 
 @q("langid", _LANGID_SQL)
@@ -179,4 +178,35 @@ def langid(spark, sf_dir):
     ANSI SQL over the same documents table."""
     return with_langid(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang_pred"
+    )
+
+
+_TEXT_PROFILE_SQL = (
+    f"SELECT doc_id, {_LANGID_CASE}, "
+    # fingerprint equivalence classes == canonical-text equivalence classes
+    # (xxhash64 is injective modulo 2^-64 collisions — none at oracle scale)
+    r"count(*) OVER (PARTITION BY trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    f" AS fp_dups FROM ({_LANGID_INNER})"
+)
+
+
+@q("text_profile", _TEXT_PROFILE_SQL)
+def text_profile(spark, sf_dir):
+    """Per-document profile (language-ID + content-fingerprint structure),
+    VALUE-CHECKED. DuckDB has no xxhash64, so the RAW fingerprint value
+    cannot be in the oracle projection (its value is pinned against the
+    reference vectors by tests/test_hashing.py instead); what IS checked is
+    the fingerprint's entire observable structure: ``fp_dups`` counts the
+    documents sharing this document's fingerprint, which the oracle
+    reproduces by grouping on the canonicalized text itself — equal iff
+    fingerprint equivalence classes are exactly the whitespace-canonical
+    text classes (an xxhash64 collision at sf0.01 has probability ~2^-45
+    and would fail the check loudly, not silently)."""
+    from pyspark.sql import Window
+
+    docs = with_fingerprint(with_langid(_t(spark, sf_dir, "documents")))
+    return docs.select(
+        "doc_id",
+        "lang_pred",
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("fp_dups"),
     )

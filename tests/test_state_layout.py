@@ -287,6 +287,46 @@ def test_durable_segment_keeps_layout_contract(spark):
     assert _n_hash_exchanges(g) == 0, _plan(g)
 
 
+def test_durable_reclaim_spares_rewrapped_segments(spark):
+    """Reclaim identity is PLAN-derived (inputFiles), not an attribute tag:
+    a carried-forward segment that was re-read from disk and re-wrapped —
+    sharing no Python object provenance with the original frame — must
+    still protect its files through a reclaim round, while a genuinely
+    unreferenced segment is dropped (catalog entry + files)."""
+    from spiderspark.state import (
+        _DURABLE_TABLES,
+        _referenced_durables,
+        drop_durable_segments,
+        materialize_keyed_durable,
+    )
+
+    base = tempfile.mkdtemp(prefix="durreclaim-")
+    a = materialize_keyed_durable(
+        spark.range(0, 100).select(F.col("id").alias("url_hash")),
+        n_parts=2, base_dir=base,
+    )
+    b = materialize_keyed_durable(
+        spark.range(100, 200).select(F.col("id").alias("url_hash")),
+        n_parts=2, base_dir=base,
+    )
+    (name_a,) = _referenced_durables(a)
+    (name_b,) = _referenced_durables(b)
+    path_a, path_b = _DURABLE_TABLES[name_a], _DURABLE_TABLES[name_b]
+
+    # the live carried-forward frame is a filter over a fresh re-read —
+    # exactly the shape that loses any attribute tagged onto the original
+    rewrapped = spark.read.parquet(path_a).filter(F.col("url_hash") >= 0)
+    drop_durable_segments(spark, [a, b], [rewrapped])
+    assert os.path.exists(path_a)
+    assert rewrapped.count() == 100  # files intact, frame still readable
+    assert not os.path.exists(path_b)  # unreferenced one actually reclaimed
+    assert name_b not in _DURABLE_TABLES
+
+    drop_durable_segments(spark, [rewrapped], [])
+    assert not os.path.exists(path_a)
+    assert name_a not in _DURABLE_TABLES
+
+
 def test_durable_mode_crawl_matches_default_and_resumes(spark):
     """CrawlConfig(durable_state=True): identical schedules to the default
     in-memory mode, and resume from a snapshot continues identically."""
