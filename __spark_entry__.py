@@ -77,20 +77,25 @@ def _pre_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def schedule_round_df(
-    spark: SparkSession, sf_dir: str, budget: float = 8.0, fused: bool = True
+    spark: SparkSession, sf_dir: str, budget: float = 8.0, tier: str = "mirror"
 ) -> DataFrame:
     """One scheduling round of the real engine (crawl.select_round — the
     same code crawl_round runs) over testdata-derived seeds, against a
     pre-seen set covering every 7th document.
 
-    ``fused=True`` (the production configuration): the pre-seen keys are
-    folded into a bucket-partitioned Bloom sketch delta routed by the
-    frontier's (host_bucket, salt) layout, and selection runs the fused
-    membership + guarded-prefix + layout-kept-join pipeline — the exact
-    path the engine runs at 10^10-frontier scale. ``fused=False`` runs the
-    exact-tier fallback (chained co-partitioned anti-joins + classic
-    two-phase window). Both produce the identical schedule: the sketch has
-    no false negatives and the maybe-seen sliver is exactly anti-joined."""
+    ``tier`` picks the seen-filtering strategy select_round will take:
+    - "mirror" (the production default): the pre-seen keys live as the
+      scheduler-layout mirror segment; selection is the co-partitioned
+      zero-exchange anti-join + layout-satisfied WindowGroupLimit top-k.
+    - "fused": the pre-seen keys are folded into a bucket-partitioned
+      Bloom sketch delta routed by the frontier's (host_bucket, salt)
+      layout; selection runs the fused membership + guarded-prefix +
+      layout-kept-join pipeline (the low-read-volume tier).
+    - "exact": the classic fallback — chained co-partitioned anti-joins
+      against the url_hash-keyed seen table + two-phase window.
+    All three produce the identical schedule (the sketch has no false
+    negatives and its maybe-sliver is exactly anti-joined; the mirror is
+    exact by construction)."""
     import dataclasses
 
     from spiderspark.crawl import CrawlConfig, init_state, select_round
@@ -100,10 +105,14 @@ def schedule_round_df(
     from spiderspark.state import SegmentedTable
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # the layout kept-join's zero-exchange plan needs subset-key
-    # co-partitioning (session.py default; the DRIVER's session may lack it)
+    # the layout joins' zero-exchange plans need subset-key co-partitioning
+    # (session.py default; the DRIVER's session may lack it)
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    config = CrawlConfig(policy=HostPolicy(default_budget=budget), use_bloom=fused)
+    config = CrawlConfig(
+        policy=HostPolicy(default_budget=budget),
+        use_bloom=tier == "fused",
+        seen_tier="mirror" if tier == "mirror" else "sketch",
+    )
     state = init_state(spark, _documents_as_seeds(spark, sf_dir), None, config)
 
     seen_rows = with_canonical(_pre_seen_urls(spark, sf_dir))
@@ -114,45 +123,54 @@ def schedule_round_df(
         n_parts=config.state_buckets,
     )
     sketch = state.sketch
-    if fused:
-        # route the seen keys exactly as a frontier row for the same url
-        # would be routed (static salt from the crawl's salt table), so the
-        # membership task finds the bits in its own bucket slice
-        routed = assign_salts_static(seen_rows, state.salts).repartition(
-            config.state_buckets, *sketch.routing
-        )
+    seen_sched = state.seen_sched
+    # the pre-seen keys routed exactly as a frontier row for the same url
+    # would be (static salt from the crawl's salt table), so membership
+    # tasks / mirror partitions find them locally
+    routed = assign_salts_static(seen_rows, state.salts)
+    if tier == "fused":
         sketch = write_sketch_delta(
-            routed,
+            routed.repartition(config.state_buckets, *sketch.routing),
             os.path.join(state.workdir, "sketch_delta_preseen"),
             sketch,
             assume_keyed_layout=True,
         )
-    state = dataclasses.replace(state, seen=seen, sketch=sketch)
+    if tier == "mirror":
+        seen_sched = SegmentedTable.from_df(
+            routed.select("host_bucket", "salt", "url_hash"),
+            n_parts=config.state_buckets,
+            key=("host_bucket", "salt"),
+        )
+    state = dataclasses.replace(
+        state, seen=seen, sketch=sketch, seen_sched=seen_sched
+    )
     selected = select_round(spark, state, config)
     return to_schedule(selected, batch_id=1)
 
 
 def crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship, VALUE-CHECKED on BOTH scheduler tiers: the full engine
-    path (canonicalize → hash → within-batch dedup → seen anti-join /
-    sketch membership → politeness budget → skew-salted per-host top-k →
-    deterministic global rank) run twice — once through the exact-tier
-    fallback and once through the FUSED membership + guarded-prefix +
-    layout-kept-join pipeline that carries the engine at 10^10 scale — each
-    tagged with its ``path``. The two tiers are provably schedule-identical
-    (Bloom has no false negatives; the maybe sliver is exactly anti-joined;
-    the guarded prefix is an exact superset — test_fused_schedule), so ONE
-    path-independent SQL oracle checks both: canonicalization closed form +
-    seen exclusion (doc_id % 7) + per-host row_number ≤ budget + global
-    row_number, cross-joined with the two path tags. url_hash is dropped
-    from the projection (DuckDB lacks xxhash64; hash values are pinned by
-    tests/test_hashing.py); the seeds' unique priorities make the schedule
-    independent of the hash tie-break (see _documents_as_seeds)."""
-    exact = schedule_round_df(spark, sf_dir, fused=False).drop("url_hash")
-    fused = schedule_round_df(spark, sf_dir, fused=True).drop("url_hash")
-    return exact.withColumn("path", F.lit("exact")).unionByName(
-        fused.withColumn("path", F.lit("fused"))
-    )
+    """The flagship, VALUE-CHECKED on ALL THREE scheduler tiers: the full
+    engine path (canonicalize → hash → within-batch dedup → seen filtering →
+    politeness budget → skew-salted per-host top-k → deterministic global
+    rank) run through the exact-tier fallback, the FUSED bloom membership +
+    guarded-prefix + layout-kept-join pipeline, and the scheduler-layout
+    seen-MIRROR path (the production default), each tagged with its
+    ``path``. The tiers are provably schedule-identical (Bloom has no false
+    negatives; the maybe sliver is exactly anti-joined; the guarded prefix
+    is an exact superset; the mirror anti-join is exact by construction —
+    test_fused_schedule), so ONE path-independent SQL oracle checks all:
+    canonicalization closed form + seen exclusion (doc_id % 7) + per-host
+    row_number ≤ budget + global row_number, cross-joined with the three
+    path tags. url_hash is dropped from the projection (DuckDB lacks
+    xxhash64; hash values are pinned by tests/test_hashing.py); the seeds'
+    unique priorities make the schedule independent of the hash tie-break
+    (see _documents_as_seeds)."""
+    out = None
+    for tier in ("exact", "fused", "mirror"):
+        leg = schedule_round_df(spark, sf_dir, tier=tier).drop("url_hash")
+        leg = leg.withColumn("path", F.lit(tier))
+        out = leg if out is None else out.unionByName(leg)
+    return out
 
 
 _CRAWL_SCHEDULE_ORACLE = """
@@ -193,11 +211,12 @@ WITH seeds AS (
          CAST(0 AS INTEGER) AS attempt
   FROM topk
 )
--- both scheduler tiers (exact fallback + fused sketch pipeline) must emit
+-- all three scheduler tiers (exact fallback, fused sketch pipeline, and
+-- the scheduler-layout seen mirror — the production default) must emit
 -- the identical schedule; the engine runs each and tags its rows
 SELECT sched.*, tiers.path
 FROM sched CROSS JOIN (
-  SELECT 'exact' AS path UNION ALL SELECT 'fused'
+  SELECT 'exact' AS path UNION ALL SELECT 'fused' UNION ALL SELECT 'mirror'
 ) tiers
 """
 

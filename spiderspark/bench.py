@@ -89,7 +89,7 @@ def run_headline(
 
     from pyspark.sql import functions as F
 
-    from .bench_round import one_round, one_round_fused
+    from .bench_round import one_round, one_round_fused, one_round_mirror
     from .frontier import (
         SketchRef,
         host_bucket_col,
@@ -100,10 +100,19 @@ def run_headline(
     from .schedule import assign_salts_static, static_salt_table
     from .state import SegmentedTable
 
-    # the scheduler-layout round (ONE full-width exchange; fused membership +
-    # budget pre-selection — see bench_round.one_round_fused). The classic
-    # url_hash-layout round stays available for A/B: SPIDERSPARK_BENCH_CLASSIC=1
-    use_fused = use_bloom and not os.environ.get("SPIDERSPARK_BENCH_CLASSIC")
+    # headline strategy (SPIDERSPARK_BENCH_STRATEGY): "mirror" (default —
+    # exact seen copy in the scheduler layout, zero-exchange anti-join, no
+    # Python crossing; round-5 measured winner: 32M/32 schedule stage 19-23 s
+    # fused → 5.4-9 s mirror at identical digest), "fused" (bloom membership
+    # + guarded-prefix pre-selection — the low-read-volume tier for
+    # seen ≫ memory), or "classic" (url_hash-layout exchange round).
+    # SPIDERSPARK_BENCH_CLASSIC=1 keeps its historical meaning.
+    strategy = os.environ.get("SPIDERSPARK_BENCH_STRATEGY", "mirror")
+    if os.environ.get("SPIDERSPARK_BENCH_CLASSIC"):
+        strategy = "classic"
+    if not use_bloom and strategy == "fused":
+        strategy = "classic"
+    use_fused = strategy == "fused"
 
     parallelism = spark.sparkContext.defaultParallelism
     n_buckets = 32  # state/sketch bucket count — FIXED across parallelism
@@ -139,7 +148,23 @@ def run_headline(
 
     cap = max(4096, n_frontier // n_buckets)
     sketch = None
-    if use_bloom and use_fused:
+    seen_sched = None
+    if strategy == "mirror":
+        from .state import materialize_keyed
+
+        # the seen set's SCHEDULER-LAYOUT mirror — state, prepared outside
+        # the clock like the url_hash-keyed seen table and the sketch
+        seen_sched = materialize_keyed(
+            assign_salts_static(
+                seen_full.withColumn(
+                    "host_bucket", host_bucket_col(F.col("host"))
+                ),
+                salts,
+            ).select("host_bucket", "salt", "url_hash"),
+            n_parts=n_buckets, key=("host_bucket", "salt"),
+            sort=("host_bucket", "salt", "url_hash"),
+        )
+    elif use_bloom and use_fused:
         sketch = SketchRef.create(
             n_buckets, cap, 0.01, routing=("host_bucket", "salt")
         )
@@ -158,6 +183,10 @@ def run_headline(
         )
 
     def round_fn(input_df, root):
+        if strategy == "mirror":
+            return one_round_mirror(
+                spark, input_df, seen_sched, policy, n_buckets, root, salts
+            )
         if use_fused:
             return one_round_fused(
                 spark, input_df, seen_table, sketch, policy, n_buckets, root, salts

@@ -20,6 +20,135 @@ import time
 import uuid
 
 
+def one_round_mirror(
+    spark,
+    raw,
+    seen_sched,
+    policy,
+    n_buckets: int,
+    delta_root: str,
+    salts,
+) -> dict:
+    """The EXACT-MIRROR scheduler round (round-5 measured winner): the seen
+    set is stored as a second copy in the SCHEDULER layout — (host_bucket,
+    salt) partitioned, sorted on (host_bucket, salt, url_hash) — so seen
+    filtering is ONE co-partitioned sort-merge LEFT-ANTI join with zero
+    exchange and zero sort on BOTH sides, entirely JVM-side, and selection
+    degenerates to the plain two-phase WindowGroupLimit top-k (phase 1
+    partitioned by (host_bucket, salt, host) — layout-satisfied, no
+    exchange).
+
+    Why this beats the bloom tier at sandbox scale (measured, 32M/32
+    cores, interleaved: schedule stage 19-23 s bloom → 5.4-9 s mirror,
+    identical digests): the fused bloom pass must move every candidate's
+    numeric projection across the JVM→Python Arrow IPC boundary, and that
+    crossing — not the membership kernel, not the join-back — is ~85% of
+    the stage cost (trivial-function crossing: 3.9 s of the 4.9 s kept
+    term at 8M; mapInArrow no faster). The mirror path crosses nothing.
+
+    Scale trade (documented in BENCH/BASELINE.md): the mirror anti-join
+    READS O(seen) key bytes per round per task-set (sequential, local,
+    co-partitioned — the same volume the bloom tier's sliver anti-probe
+    already reads), while the bloom side-read is ~1.2 bits/key; at
+    10^10-seen the bloom tier remains the low-read-volume configuration
+    and stays one env var away (SPIDERSPARK_BENCH_STRATEGY=fused). Both
+    produce byte-identical schedules.
+
+    The timed state update is the mirror delta: the scheduled keys
+    materialized into a new keyed mirror segment (O(schedule) exchange —
+    the same class of write the sketch delta was)."""
+    from pyspark.sql import Window, functions as F
+
+    from .frontier import dedup_within_batch, seeds_to_frontier
+    from .politeness import join_host_state, robots_gate
+    from .schedule import (
+        assign_salts_static,
+        order_cols,
+        per_host_topk_final,
+        to_schedule,
+    )
+    from .schemas import HOST_STATE
+    from .state import materialize_keyed
+
+    t0 = time.time()
+    keyed = materialize_keyed(
+        dedup_within_batch(
+            assign_salts_static(
+                seeds_to_frontier(spark, raw, batch_id=0), salts
+            ).repartition(n_buckets, "host_bucket", "salt"),
+            extra_keys=("host_bucket", "salt"),
+        ),
+        repartition=False,
+    )
+    t_canon = time.time() - t0
+
+    t2 = time.time()
+    empty_hs = spark.createDataFrame([], HOST_STATE)
+    budgeted = join_host_state(keyed, empty_hs, policy)
+    gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+    unseen = gated.join(
+        seen_sched, ["host_bucket", "salt", "url_hash"], "left_anti"
+    )
+    # phase 1 keyed (host_bucket, salt, host): same groups as (host, salt)
+    # — host_bucket is a function of host — but the partition keys now
+    # contain the layout's hash keys, so the window plans with NO exchange;
+    # the literal k_cap conjunct keeps the WindowGroupLimit bounded sort
+    k_cap = int(policy.default_budget)
+    w1 = Window.partitionBy("host_bucket", "salt", "host").orderBy(*order_cols())
+    kept = (
+        unseen.withColumn("_r1", F.row_number().over(w1))
+        .filter((F.col("_r1") <= F.lit(k_cap)) & (F.col("_r1") <= F.col("host_budget")))
+        .drop("_r1")
+    ).localCheckpoint(eager=True)
+    t_kept = time.time() - t2
+    selected = per_host_topk_final(kept, "host_budget", k_cap=k_cap)
+    schedule = to_schedule(
+        selected, batch_id=1, materialize=lambda df: df.localCheckpoint(eager=True)
+    )
+    t_sched = time.time() - t2
+
+    t3 = time.time()
+    digest_holder: dict = {}
+
+    def _digest():
+        digest_holder["row"] = schedule.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))").alias("d"),
+        ).collect()[0]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .frontier import host_bucket_col
+
+    newly_seen = assign_salts_static(
+        schedule.select(
+            "url_hash", "url_norm", "host",
+            host_bucket_col(F.col("host")).alias("host_bucket"),
+        ),
+        salts,
+    ).select("host_bucket", "salt", "url_hash")
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_digest)
+        # the mirror delta: a new keyed segment of the scheduled keys
+        materialize_keyed(
+            newly_seen, n_parts=n_buckets, key=("host_bucket", "salt"),
+            sort=("host_bucket", "salt", "url_hash"),
+        )
+        fut.result()
+    digest_row = digest_holder["row"]
+    t_delta = time.time() - t3
+    wall = time.time() - t0
+    return {
+        "wall_s": round(wall, 3),
+        "canon_dedup_s": round(t_canon, 3),
+        "schedule_s": round(t_sched, 3),
+        "kept_s": round(t_kept, 3),
+        "sketch_delta_s": round(t_delta, 3),  # mirror delta (same slot)
+        "n_scheduled": digest_row["n"],
+        "schedule_digest": int(digest_row["d"] or 0),
+    }
+
+
 def one_round_fused(
     spark,
     raw,

@@ -73,7 +73,7 @@ from .schedule import (
     static_salt_table,
     to_schedule,
 )
-from .schemas import FRONTIER, HOST_STATE, SEEN
+from .schemas import FRONTIER, HOST_STATE, SEEN, SEEN_SCHED
 from .snapshots import SnapshotStore
 from .state import SegmentedTable, materialize_keyed, resolve_frontier_delta
 
@@ -97,6 +97,20 @@ class CrawlConfig:
     bloom_fpp: float = 0.01
     skew_threshold: int = 50_000
     use_bloom: bool = True
+    # how per-round seen filtering runs over the stored frontier segments:
+    # - "mirror" (default; round-5 measured winner): the seen set keeps an
+    #   EXACT second copy in the scheduler layout ((host_bucket, salt)
+    #   partitioned, sorted on (..., url_hash)), so the filter is one
+    #   co-partitioned zero-exchange/zero-sort LEFT-ANTI merge join —
+    #   entirely JVM-side (the fused bloom pass's dominant cost was the
+    #   JVM→Python Arrow IPC crossing of every candidate, measured 85% of
+    #   the stage; 32M/32: schedule stage 19-23 s → 5.4-9 s, same digest).
+    # - "sketch": the bloom/cuckoo membership + guarded-prefix pre-selection
+    #   (frontier.membership_prefix_topk) — reads ~1.2 bits per seen key
+    #   instead of the mirror's 16 key bytes: the right tier when the seen
+    #   set dwarfs what per-task sequential reads should pay per round.
+    # Both tiers produce byte-identical schedules (test_fused_schedule).
+    seen_tier: str = "mirror"
     # approximate-tier filter family: "bloom" (default) or "cuckoo" (adds
     # deletion for re-crawl-after-TTL deployments; see sketch.CuckooFilter)
     sketch_kind: str = "bloom"
@@ -145,6 +159,11 @@ class CrawlState:
     # balance, never correctness. Re-salting requires a sketch rebuild.
     salts: DataFrame | None = None
     snapshot_id: int | None = None
+    # the seen set's scheduler-layout mirror (seen_tier="mirror"):
+    # key = FRONTIER_KEY, rows (host_bucket, salt, url_hash) — None when the
+    # tier is off or the snapshot predates it (select_round then falls back
+    # to the sketch / classic branches)
+    seen_sched: SegmentedTable | None = None
 
 
 @F.pandas_udf(T.StringType())
@@ -245,6 +264,11 @@ def init_state(
         workdir=workdir,
         k_cap=k_cap,
         salts=salts,
+        seen_sched=(
+            SegmentedTable.empty(n, key=FRONTIER_KEY)
+            if config.seen_tier == "mirror"
+            else None
+        ),
     )
 
 
@@ -271,15 +295,51 @@ def select_round(
     the driver contract (``__spark_entry__.schedule_round_df``) value-checks
     the EXACT code path ``crawl_round`` runs, fused tier included.
 
-    Sketch path (the scale path): politeness/robots gate each stored
-    segment in place (broadcast joins — layout preserved), then ONE
-    partition-local pass fuses bloom membership with the exact guarded-
-    prefix budget pre-selection (frontier.membership_prefix_topk) — the
-    big frontier segments are never exchanged AND never fully ranked;
-    only the O(hosts × budget) kept set moves: the maybe-seen sliver to
-    the seen layout for the exact anti-join, the survivors into the final
-    per-host window. k_cap is a config-constant literal (max capacity
-    never grows past init) → WindowGroupLimit bounds the final sort."""
+    Mirror tier (default): each gated segment anti-joins the seen set's
+    scheduler-layout mirror — co-partitioned SMJ, zero exchange and zero
+    sort on BOTH sides, no Python crossing — then phase-1 ranks within
+    (host_bucket, salt, host), layout-satisfied (no exchange) with the
+    k_cap literal keeping the WindowGroupLimit bounded sort; only the
+    O(hosts × budget) phase-1 winners reach the final window.
+
+    Sketch tier: politeness/robots gate each stored segment in place
+    (broadcast joins — layout preserved), then ONE partition-local pass
+    fuses bloom membership with the exact guarded-prefix budget
+    pre-selection (frontier.membership_prefix_topk) — the big frontier
+    segments are never exchanged AND never fully ranked; only the kept set
+    moves: the maybe-seen sliver to the seen layout for the exact
+    anti-join, the survivors into the final per-host window. The tier of
+    choice when the seen set dwarfs per-round sequential-read budgets
+    (~1.2 bits vs 16 bytes read per seen key)."""
+    if config.seen_tier == "mirror" and state.seen_sched is not None:
+        from pyspark.sql import Window
+
+        from .schedule import order_cols
+
+        kept_parts = []
+        for seg in state.frontier.segments:
+            budgeted = join_host_state(seg, state.host_state, config.policy)
+            gated = robots_gate(budgeted).filter(F.col("host_budget") > 0)
+            unseen = state.seen_sched.anti_probe(gated)
+            w1 = Window.partitionBy("host_bucket", "salt", "host").orderBy(
+                *order_cols()
+            )
+            kept_parts.append(
+                unseen.withColumn("_r1", F.row_number().over(w1))
+                .filter(
+                    (F.col("_r1") <= F.lit(int(state.k_cap)))
+                    & (F.col("_r1") <= F.col("host_budget"))
+                )
+                .drop("_r1")
+            )
+        if not kept_parts:
+            return spark.createDataFrame([], FRONTIER).withColumn(
+                "host_budget", F.lit(0).cast("long")
+            )
+        kept = kept_parts[0]
+        for p in kept_parts[1:]:
+            kept = kept.unionByName(p)
+        return per_host_topk_final(kept, "host_budget", k_cap=state.k_cap)
     use_fused = state.sketch is not None and len(state.sketch.paths) > 0
     if use_fused:
         survivor_parts = []
@@ -490,27 +550,48 @@ def crawl_round(
     #    keys are already in the keyed layout so not even the delta
     #    exchanges). Compaction = distributed groupBy(bucket) bit-OR.
     sketch = state.sketch
+    seen_sched = state.seen_sched
     # skip the delta when nothing became seen this round (drained frontier /
     # all fetches failed with attempts left): an empty write would leave a
     # files-less directory and add a useless path to every future membership
     # side-read. newly_seen_seg is checkpointed, so the emptiness probe is a
     # cheap partition-local scan.
-    if sketch is not None and not newly_seen_seg.isEmpty():
-        path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
+    have_newly_seen = not newly_seen_seg.isEmpty()
+    if (sketch is not None or seen_sched is not None) and have_newly_seen:
         # keys routed by their TRUE (host_bucket, salt) — the same routing a
-        # future frontier row for the url will carry into its membership task
-        newly_for_sketch = (
-            assign_salts_static(
-                fetched.filter(done_cond).select(
-                    "url_hash", "url_norm", "host",
-                    host_bucket_col(F.col("host")).alias("host_bucket"),
-                ),
-                state.salts,
-            )
-            .repartition(n, *sketch.routing)
+        # future frontier row for the url will carry into its membership
+        # task / its mirror anti-join partition
+        newly_routed = assign_salts_static(
+            fetched.filter(done_cond).select(
+                "url_hash", "url_norm", "host",
+                host_bucket_col(F.col("host")).alias("host_bucket"),
+            ),
+            state.salts,
+        ).repartition(n, *FRONTIER_KEY)
+    if seen_sched is not None and have_newly_seen:
+        mirror_seg = mat(
+            newly_routed.select("host_bucket", "salt", "url_hash"),
+            n_parts=n,
+            key=FRONTIER_KEY,
+            repartition=False,
+            sort=seen_sched.sort_cols,
+        )
+        seen_sched = seen_sched.append(mirror_seg).maybe_compact(
+            config.max_segments,
+            materializer=lambda df: mat(
+                df, n_parts=n, key=FRONTIER_KEY, sort=state.seen_sched.sort_cols
+            ),
+        )
+    if sketch is not None and have_newly_seen:
+        path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
+        # a resumed pre-schema sketch may route by url_hash — re-key for it
+        for_sketch = (
+            newly_routed
+            if tuple(sketch.routing) == FRONTIER_KEY
+            else newly_routed.repartition(n, *sketch.routing)
         )
         sketch = write_sketch_delta(
-            newly_for_sketch, path, sketch, assume_keyed_layout=True
+            for_sketch, path, sketch, assume_keyed_layout=True
         )
         if len(sketch.paths) > config.max_segments:
             old_paths = sketch.paths
@@ -538,6 +619,7 @@ def crawl_round(
         workdir=state.workdir,
         k_cap=state.k_cap,
         salts=state.salts,
+        seen_sched=seen_sched,
     )
 
     if config.durable_state:
@@ -548,6 +630,10 @@ def crawl_round(
 
         drop_durable_segments(spark, state.frontier.segments, frontier.segments)
         drop_durable_segments(spark, state.seen.segments, seen.segments)
+        if state.seen_sched is not None and seen_sched is not None:
+            drop_durable_segments(
+                spark, state.seen_sched.segments, seen_sched.segments
+            )
 
     if store is not None:
         new_state = commit_state(spark, new_state, schedule, fetch_log, store)
@@ -571,6 +657,8 @@ def commit_state(
     }
     if state.salts is not None:
         tables["salt_table"] = state.salts
+    if state.seen_sched is not None:
+        tables["seen_sched"] = state.seen_sched.df(spark, SEEN_SCHED)
     partition_by = {}
     if state.sketch is not None:
         tables["seen_sketch"] = sketch_df(spark, state.sketch)
@@ -641,6 +729,17 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
             spark.createDataFrame([], "host string, n_salts int")
         )
     )
+    # the scheduler-layout mirror resumes from its committed table; a
+    # pre-mirror snapshot leaves it None and select_round falls back to the
+    # sketch / classic branches (the mirror cannot be rebuilt from the seen
+    # table alone — (host_bucket, salt) needs the host, which SEEN drops)
+    seen_sched = None
+    if config.seen_tier == "mirror" and "seen_sched" in m["tables"]:
+        seen_sched = SegmentedTable.from_df(
+            store.read(spark, snapshot_id, "seen_sched"),
+            n_parts=n,
+            key=FRONTIER_KEY,
+        )
     return CrawlState(
         frontier=SegmentedTable.from_df(
             store.read(spark, snapshot_id, "frontier"),
@@ -655,6 +754,7 @@ def resume(spark: SparkSession, store: SnapshotStore, config: CrawlConfig) -> Cr
         k_cap=k_cap,
         salts=salts,
         snapshot_id=snapshot_id,
+        seen_sched=seen_sched,
     )
 
 

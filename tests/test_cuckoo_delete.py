@@ -45,7 +45,7 @@ def _hashes(df) -> set:
 def test_cuckoo_delete_then_recrawl(spark):
     config = CrawlConfig(
         policy=HostPolicy(default_budget=4.0), state_buckets=N,
-        sketch_kind="cuckoo",
+        sketch_kind="cuckoo", seen_tier="sketch",  # the tier under test
     )
     pages = spark.createDataFrame(gen_pages_pdf(np.arange(200), 200), schema=PAGES)
     seeds = spark.createDataFrame(seeds_pdf(12, 200), schema=SEEDS)

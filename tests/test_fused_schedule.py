@@ -73,9 +73,17 @@ def setup(spark):
         SketchRef.create(N_BUCKETS, 8192, 0.01, routing=("host_bucket", "salt")),
         assume_keyed_layout=True,
     )
+    from spiderspark.state import materialize_keyed
+
+    seen_sched = materialize_keyed(
+        seen_hb.select("host_bucket", "salt", "url_hash"),
+        n_parts=N_BUCKETS, key=("host_bucket", "salt"),
+        sort=("host_bucket", "salt", "url_hash"),
+    )
     return {
         "raw": raw,
         "seen_table": seen_table,
+        "seen_sched": seen_sched,
         "salts": salts,
         "policy": policy,
         "sk_classic": sk_classic,
@@ -95,6 +103,66 @@ def test_fused_schedule_identical_to_classic(spark, setup):
     )
     assert rc["n_scheduled"] == rf["n_scheduled"] > 0
     assert rc["schedule_digest"] == rf["schedule_digest"]
+
+
+def test_mirror_schedule_identical_to_classic(spark, setup):
+    """The scheduler-layout seen-MIRROR round (round-5 default:
+    co-partitioned exact anti-join, no sketch, no Python crossing) must
+    produce the EXACT same schedule as the classic and fused rounds."""
+    from spiderspark.bench_round import one_round_mirror
+
+    rc = one_round(
+        spark, setup["raw"], setup["seen_table"], setup["sk_classic"],
+        setup["policy"], N_BUCKETS, setup["delta_root"],
+    )
+    rm = one_round_mirror(
+        spark, setup["raw"], setup["seen_sched"], setup["policy"],
+        N_BUCKETS, setup["delta_root"], setup["salts"],
+    )
+    assert rc["n_scheduled"] == rm["n_scheduled"] > 0
+    assert rc["schedule_digest"] == rm["schedule_digest"]
+
+
+def test_mirror_selection_plan_exchange_free(spark, setup):
+    """The mirror tier's physical contract: from the stored layout through
+    the phase-1 window, the plan must contain ZERO hash exchanges (the
+    anti-join is layout-co-partitioned; the window partition keys contain
+    the layout's hash keys) and the bounded-sort WindowGroupLimit operator
+    (the k_cap literal conjunct)."""
+    from pyspark.sql import Window
+
+    from spiderspark.frontier import dedup_within_batch
+    from spiderspark.politeness import join_host_state, robots_gate
+    from spiderspark.schedule import order_cols
+    from spiderspark.schemas import HOST_STATE
+    from spiderspark.state import materialize_keyed
+
+    keyed = materialize_keyed(
+        dedup_within_batch(
+            assign_salts_static(
+                seeds_to_frontier(spark, setup["raw"], batch_id=0), setup["salts"]
+            )
+        ),
+        n_parts=N_BUCKETS,
+        key=("host_bucket", "salt"),
+        sort=("host_bucket", "salt", "url_hash"),
+    )
+    gated = robots_gate(
+        join_host_state(keyed, spark.createDataFrame([], HOST_STATE), setup["policy"])
+    ).filter(F.col("host_budget") > 0)
+    unseen = gated.join(
+        setup["seen_sched"], ["host_bucket", "salt", "url_hash"], "left_anti"
+    )
+    w1 = Window.partitionBy("host_bucket", "salt", "host").orderBy(*order_cols())
+    kept = (
+        unseen.withColumn("_r1", F.row_number().over(w1))
+        .filter((F.col("_r1") <= F.lit(40)) & (F.col("_r1") <= F.col("host_budget")))
+        .drop("_r1")
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert kept.count() > 0
 
 
 def test_fused_dedup_plans_exchange_free(spark, setup):
