@@ -110,8 +110,47 @@ def remove_dot_segments(path: str) -> str:
     return "".join(out)
 
 
+# Identity fast path: a URL matching this shape is PROVABLY a fixed point of
+# the full kernel below, clause by clause — lowercase http(s) scheme (step 3
+# no-op); host already a valid lowercase reg-name ending in [a-z0-9] (no
+# userinfo '@', no port ':', no trailing dot, ASCII only — steps 3 no-op and
+# the validity gate passes); path starts '/' with no '%' (pct-norm no-op),
+# and a separate guard rejects any dot-segment (step 4 no-op); optional
+# query is non-empty with no '%' (step 5 no-op); no '#' anywhere (step 2
+# no-op); no whitespace anywhere (strip no-op). Everything else — including
+# anything merely SUSPECTED of needing work, e.g. a '/..' that actually sits
+# in the query — falls through to the full kernel, so the fast path can only
+# ever return byte-identical output (property-pinned against the full kernel
+# in test_canon on generated, adversarial and fast-shaped inputs).
+_FAST_IDENTITY_RE = re.compile(
+    r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[^%?#\s]*(?:\?[^%#\s]+)?$"
+)
+_FAST_DOTSEG_GUARD = re.compile(r"/\.\.?(?:/|$)")
+
+
 def canonicalize_series(urls: pd.Series) -> pd.Series:
-    """Vectorized RFC-3986 canonicalization of a Series of URL strings."""
+    """Vectorized RFC-3986 canonicalization of a Series of URL strings.
+
+    Two tiers: one combined-regex pass proves the already-canonical rows
+    are fixed points (the common case on a well-behaved frontier — ~60% of
+    the bench mix) and passes them through untouched; only the remainder
+    pays the full multi-pass kernel. Byte-identical by construction."""
+    s0 = urls.fillna("").astype(str)
+    fast = (
+        s0.str.match(_FAST_IDENTITY_RE)
+        & ~s0.str.contains(_FAST_DOTSEG_GUARD)
+    )
+    if fast.all():
+        return s0.copy()
+    if not fast.any():
+        return _canonicalize_series_full(s0)
+    out = s0.copy()
+    out[~fast] = _canonicalize_series_full(s0[~fast])
+    return out
+
+
+def _canonicalize_series_full(urls: pd.Series) -> pd.Series:
+    """The full multi-pass kernel (every clause of the pinned spec)."""
     s = urls.fillna("").astype(str).str.strip()
     no_scheme = ~s.str.contains(_SCHEME_RE) & (s != "")
     s = s.where(~no_scheme, "http://" + s)

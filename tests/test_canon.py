@@ -170,3 +170,64 @@ def test_robots_empty_default_allow():
 def test_crawl_delay_series():
     s = crawl_delay_series(pd.Series([ROBOTS, None, "User-agent: *\nCrawl-delay: 1"]))
     assert list(s) == [2.5, 0.0, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# fast-path identity tier (round 5): canonicalize_series's combined-regex
+# pass-through must be byte-identical to the full kernel on EVERY input
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from spiderspark.canon import (  # noqa: E402
+    _FAST_IDENTITY_RE,
+    _canonicalize_series_full,
+    canonicalize_series,
+)
+
+
+def _parity(urls: list[str]) -> None:
+    s = pd.Series(urls, dtype=object)
+    fast = canonicalize_series(s)
+    full = _canonicalize_series_full(s)
+    assert fast.tolist() == full.tolist()
+
+
+def test_fast_path_parity_representative_mix():
+    """The bench generator's URL shapes (clean + every noise class) plus
+    edge shapes around each fast-path clause boundary."""
+    _parity([
+        "http://host3.example/p/123",              # fast
+        "http://host3.example/p/123?x=1&y=2",      # fast with query
+        "HTTP://HOST3.example/p/123",              # case → slow
+        "http://host3.example:80/p/123",           # default port → slow
+        "http://host3.example/a/../p/./123",       # dot segments → slow
+        "http://host3.example/p/%7e123",           # pct → slow
+        "http://h.example/p?",                     # empty query → slow
+        "http://h.example/p#frag",                 # fragment → slow
+        "http://h.example./p",                     # trailing-dot host → slow
+        "http://user@h.example/p",                 # userinfo → slow
+        "  http://h.example/p  ",                  # whitespace → slow
+        "http://h.example/.well-known/x",          # '/.': guard → slow (conservative)
+        "http://h.example/p/..",                   # trailing dot-seg → slow
+        "http://h.example/p?q=/../x",              # dot-seg in QUERY → slow (conservative)
+        "https://h.example/",                      # minimal fast https
+        "ftp://h.example/p",                       # non-http scheme → slow
+        "host.example/p",                          # schemeless → slow
+        "",                                        # empty → slow
+        "http://héllo.example/p",                  # IDN → slow
+        "http://h_x.example/p",                    # invalid host char → slow
+    ])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+def test_fast_path_parity_arbitrary_text(urls):
+    _parity(urls)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.from_regex(_FAST_IDENTITY_RE, fullmatch=True), min_size=1, max_size=8))
+def test_fast_path_parity_fast_shaped(urls):
+    """Inputs the fast tier actually accepts: fixed-point claim holds."""
+    _parity(urls)
