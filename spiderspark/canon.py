@@ -123,18 +123,45 @@ def remove_dot_segments(path: str) -> str:
 # ever return byte-identical output (property-pinned against the full kernel
 # in test_canon on generated, adversarial and fast-shaped inputs).
 _FAST_IDENTITY_RE = re.compile(
-    r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[^%?#\s]*(?:\?[^%#\s]+)?$"
+    r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[^%?#\s]*(?:\?[^%#\s]+)?\Z"
 )
 _FAST_DOTSEG_GUARD = re.compile(r"/\.\.?(?:/|$)")
+
+# Tier-2 cheap-fix path: rows whose ONLY deviations from the identity shape
+# are scheme/host letter case and/or an explicit default port — the two most
+# common non-canonical forms on a real frontier (mixed-case hand-entered
+# hosts, ':80'/':443' emitted by naive link resolvers). For a match, the
+# rebuild lower(scheme) + '://' + lower(host) + rest is provably what the
+# full kernel returns: lowercasing [A-Za-z0-9.\-] lands inside the identity
+# host charset with alnum ends preserved (so the validity gate passes and
+# rstrip('.')/IDN/userinfo clauses are no-ops by charset exclusion), the
+# matched port is dropped exactly when the kernel's is_default clause drops
+# it (non-default scheme/port pairs are rejected below and fall through),
+# and rest reuses the identity path/query clause verbatim (pct/dot-segment/
+# whitespace no-ops, with the same dot-segment guard applied). The rebuild
+# therefore matches _FAST_IDENTITY_RE by construction — a fixed point —
+# and equals the full kernel's output on the original row. Anything else
+# (non-default ports, userinfo, IDN, '%', dot-segments, whitespace) fails
+# the match or the guard and pays the full kernel. Property-pinned against
+# the full kernel in test_canon alongside the tier-1 pin.
+_FAST_CASEPORT_RE = re.compile(
+    r"^([Hh][Tt][Tt][Pp][Ss]?)://"
+    r"([A-Za-z0-9](?:[A-Za-z0-9.\-]*[A-Za-z0-9])?)"
+    r"(:(?:80|443))?"
+    r"(/[^%?#\s]*(?:\?[^%#\s]+)?)\Z"
+)
 
 
 def canonicalize_series(urls: pd.Series) -> pd.Series:
     """Vectorized RFC-3986 canonicalization of a Series of URL strings.
 
-    Two tiers: one combined-regex pass proves the already-canonical rows
+    Three tiers: one combined-regex pass proves the already-canonical rows
     are fixed points (the common case on a well-behaved frontier — ~60% of
-    the bench mix) and passes them through untouched; only the remainder
-    pays the full multi-pass kernel. Byte-identical by construction."""
+    the bench mix) and passes them through untouched; a second cheap-fix
+    pass handles rows whose only deviations are scheme/host case or an
+    explicit default port (lowercase + drop-port rebuild, proven equal to
+    the full kernel — see _FAST_CASEPORT_RE); only the remainder pays the
+    full multi-pass kernel. Byte-identical by construction."""
     s0 = urls.fillna("").astype(str)
     fast = (
         s0.str.match(_FAST_IDENTITY_RE)
@@ -142,10 +169,28 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     )
     if fast.all():
         return s0.copy()
-    if not fast.any():
-        return _canonicalize_series_full(s0)
     out = s0.copy()
-    out[~fast] = _canonicalize_series_full(s0[~fast])
+    sub = s0[~fast]
+    parts = sub.str.extract(_FAST_CASEPORT_RE)
+    scheme_l = parts[0].str.lower()
+    port = parts[2]
+    eligible = (
+        parts[0].notna()
+        & (
+            port.isna()
+            | ((scheme_l == "http") & (port == ":80"))
+            | ((scheme_l == "https") & (port == ":443"))
+        )
+        & ~parts[3].str.contains(_FAST_DOTSEG_GUARD, na=True)
+    )
+    if eligible.any():
+        fixed = scheme_l + "://" + parts[1].str.lower() + parts[3]
+        out[eligible.index[eligible]] = fixed[eligible]
+        hard = eligible.index[~eligible]
+    else:
+        hard = sub.index
+    if len(hard):
+        out[hard] = _canonicalize_series_full(s0[hard])
     return out
 
 

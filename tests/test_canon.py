@@ -180,6 +180,7 @@ def test_crawl_delay_series():
 from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from spiderspark.canon import (  # noqa: E402
+    _FAST_CASEPORT_RE,
     _FAST_IDENTITY_RE,
     _canonicalize_series_full,
     canonicalize_series,
@@ -231,3 +232,36 @@ def test_fast_path_parity_arbitrary_text(urls):
 def test_fast_path_parity_fast_shaped(urls):
     """Inputs the fast tier actually accepts: fixed-point claim holds."""
     _parity(urls)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.from_regex(_FAST_CASEPORT_RE, fullmatch=True), min_size=1, max_size=8))
+def test_fast_path_parity_caseport_shaped(urls):
+    """Inputs the tier-2 cheap-fix pattern accepts (any scheme/host case,
+    any :80/:443 port combination — including the NON-default pairs the
+    eligibility check must reject to the full kernel)."""
+    _parity(urls)
+
+
+def test_fast_path_trailing_newline_regression():
+    """'$' matches before a trailing newline in Python regexes; the identity
+    probe must anchor with \\Z so whitespace-stripping rows reach the full
+    kernel (caught in round 5 — the tier-1 pattern originally used '$')."""
+    _parity(["http://h.example/p\n", "HTTP://h.example:80/p\n", "http://h.example/p\r\n"])
+
+
+def test_fast_path_parity_caseport_mix():
+    """Clause boundaries of the tier-2 eligibility check."""
+    _parity([
+        "HTTP://HOST5.example:80/p/5",       # bench m5+m7 shape → tier 2
+        "HTTPS://Host.Example:443/a?q=1",    # https default port → tier 2
+        "hTtP://MiXeD.Case/p",               # case only → tier 2
+        "https://h.example:80/p",            # NON-default pair → full kernel
+        "HTTP://h.example:443/p",            # NON-default pair → full kernel
+        "HTTP://h.example:8080/p",           # other port → full kernel
+        "HTTP://HOST.example:80/a/../p",     # caseport + dot-seg → full kernel
+        "HTTP://HOST.example:80/p?x=/../y",  # dot-seg in query → full kernel
+        "HTTP://h.example:80/p?",            # empty query → full kernel
+        "HTTP://-h.example/p",               # leading hyphen host → full kernel
+        "HTTPS://A/p",                       # single-char host → tier 2
+    ])
