@@ -163,10 +163,10 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     the full kernel — see _FAST_CASEPORT_RE); only the remainder pays the
     full multi-pass kernel. Byte-identical by construction."""
     s0 = urls.fillna("").astype(str)
-    fast = (
-        s0.str.match(_FAST_IDENTITY_RE)
-        & ~s0.str.contains(_FAST_DOTSEG_GUARD)
-    )
+    fast = s0.str.match(_FAST_IDENTITY_RE).to_numpy(dtype=bool)
+    if fast.any():
+        # dot-segment guard only over the identity-shaped subset
+        fast[fast] = ~s0[fast].str.contains(_FAST_DOTSEG_GUARD).to_numpy(dtype=bool)
     if fast.all():
         return s0.copy()
     out = s0.copy()
@@ -182,15 +182,15 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
             | ((scheme_l == "https") & (port == ":443"))
         )
         & ~parts[3].str.contains(_FAST_DOTSEG_GUARD, na=True)
-    )
+    ).to_numpy(dtype=bool)
     if eligible.any():
         fixed = scheme_l + "://" + parts[1].str.lower() + parts[3]
-        out[eligible.index[eligible]] = fixed[eligible]
-        hard = eligible.index[~eligible]
+        out.loc[sub.index[eligible]] = fixed[eligible]
+        hard = sub.index[~eligible]
     else:
         hard = sub.index
     if len(hard):
-        out[hard] = _canonicalize_series_full(s0[hard])
+        out.loc[hard] = _canonicalize_series_full(s0.loc[hard])
     return out
 
 
