@@ -24,11 +24,18 @@ while [ "$attempt" -lt "$MAX_ATTEMPTS" ]; do
     if [ "$ok2" = "1" ]; then
       attempt=$((attempt+1))
       echo "$(date -u +%FT%TZ) attempt $attempt at load $l1/$l2" >&2
+      # stage the pass's own output and validate it BEFORE appending: a
+      # crashed/silent bench must not make tail -1 re-read a previous
+      # attempt's line and fabricate a 'target reached'
+      tmp=$(mktemp)
       SPIDERSPARK_DRIVER_MEM=48g SPIDERSPARK_SCALING_PASSES=1 \
         python bench.py --scaling --weak --frontier "$FRONTIER" --lo "$LO" --hi "$HI" \
         2>/dev/null | tail -1 | \
-        python3 -c "import json,sys; d=json.loads(sys.stdin.read()); d['load_at_launch']=[$l1,$l2]; d['ts']='$(date -u +%FT%TZ)'; print(json.dumps(d))" >> "$OUT"
-      eff=$(tail -1 "$OUT" | python3 -c "import json,sys; print(json.loads(sys.stdin.read())['value'])")
+        python3 -c "import json,sys; d=json.loads(sys.stdin.read()); d['load_at_launch']=[$l1,$l2]; d['ts']='$(date -u +%FT%TZ)'; print(json.dumps(d))" > "$tmp" \
+        || { echo "$(date -u +%FT%TZ) attempt $attempt FAILED (no JSON)" >&2; rm -f "$tmp"; continue; }
+      eff=$(python3 -c "import json,sys; print(json.load(open('$tmp'))['value'])") \
+        || { echo "$(date -u +%FT%TZ) attempt $attempt FAILED (bad JSON)" >&2; rm -f "$tmp"; continue; }
+      cat "$tmp" >> "$OUT"; rm -f "$tmp"
       echo "$(date -u +%FT%TZ) attempt $attempt eff=$eff" >&2
       done_=$(python3 -c "print(1 if $eff >= $TARGET else 0)")
       [ "$done_" = "1" ] && { echo "target reached: $eff" >&2; exit 0; }

@@ -126,7 +126,13 @@ def _cos_expr(a, b):
         F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
                     lambda acc, v: acc + v)
     )
-    return dot / F.greatest(norm(a) * norm(b), F.lit(1e-12))
+    # per-VECTOR clamp, matching the GEMM tier's np.maximum(norm, 1e-12)
+    # normalization exactly: max(a,eps)*max(b,eps), NOT max(a*b,eps) — the
+    # two differ by up to 1/eps for a subnormal-norm vector paired with a
+    # large one, which would flip top-k between the tiers
+    return dot / (
+        F.greatest(norm(a), F.lit(1e-12)) * F.greatest(norm(b), F.lit(1e-12))
+    )
 
 
 def brute_force_topk_blocked(
@@ -349,8 +355,12 @@ def _split(spark, sf_dir):
 @q(
     "ann_bruteforce",
     # explicit dot/norm formula (not list_cosine_similarity) so the engine's
-    # zero-norm clamp is mirrored exactly: greatest(‖c‖·‖q‖, 1e-12) — a zero
-    # embedding scores 0.0 on both sides instead of NaN in DuckDB only.
+    # zero-norm clamp is mirrored exactly: the GEMM kernel normalizes each
+    # side by max(norm, 1e-12), so the denominator is the PRODUCT of
+    # per-vector clamps — greatest(‖c‖,1e-12) * greatest(‖q‖,1e-12), not
+    # greatest(‖c‖·‖q‖,1e-12) (those differ by up to 1/eps for a
+    # subnormal-norm vector paired with a large one). A zero embedding
+    # scores 0.0 on both sides instead of NaN in DuckDB only.
     # Both sides cast to DOUBLE[] so the only remaining divergence vs the
     # numpy-GEMM kernel is summation order (~1e-15 — absorbed by round 4; a
     # cosine sitting EXACTLY on a .00005 boundary could still flip the
@@ -359,11 +369,11 @@ def _split(spark, sf_dir):
     "SELECT q_id, n_id, round(cos, 4) AS cos FROM ("
     "SELECT q.vec_id AS q_id, c.vec_id AS n_id, "
     "list_dot_product(CAST(c.embedding AS DOUBLE[]), "
-    "CAST(q.embedding AS DOUBLE[])) / greatest("
-    "sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
-    "CAST(c.embedding AS DOUBLE[]))) * "
-    "sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
-    "CAST(q.embedding AS DOUBLE[]))), 1e-12) AS cos "
+    "CAST(q.embedding AS DOUBLE[])) / ("
+    "greatest(sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), "
+    "CAST(c.embedding AS DOUBLE[]))), 1e-12) * "
+    "greatest(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), "
+    "CAST(q.embedding AS DOUBLE[]))), 1e-12)) AS cos "
     "FROM embeddings c, embeddings q "
     "WHERE c.vec_id >= 10 AND q.vec_id < 10) "
     "QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) <= 10",

@@ -133,9 +133,14 @@ def run_headline(
     ).write.parquet(f"{in_dir}/seen")
     raw = spark.read.parquet(f"{in_dir}/raw")
     seen_full = spark.read.parquet(f"{in_dir}/seen")
-    seen_table = SegmentedTable.from_df(
-        seen_full.select("url_hash", "first_batch"), n_parts=n_buckets
-    )
+    # the url_hash-keyed seen table feeds only the fused/classic rounds —
+    # building it in mirror mode would pin n_frontier/3 checkpointed rows
+    # in executor memory for the whole bench without ever being read
+    seen_table = None
+    if strategy != "mirror":
+        seen_table = SegmentedTable.from_df(
+            seen_full.select("url_hash", "first_batch"), n_parts=n_buckets
+        )
 
     # per-crawl static salt table — state, like the seen set (the schedule is
     # invariant to the salting scheme, so any size estimate is correct)

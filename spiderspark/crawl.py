@@ -640,6 +640,99 @@ def crawl_round(
     return new_state, schedule, fetch_log
 
 
+def forget_urls(
+    spark: SparkSession,
+    state: CrawlState,
+    keys_df: DataFrame,
+    config: CrawlConfig,
+) -> CrawlState:
+    """TTL expiry, coherent across EVERY seen representation the state
+    carries: the exact url_hash table, the scheduler-layout mirror
+    (``seen_tier="mirror"``, the default), and the cuckoo sketch. After
+    this, re-injecting the urls into the frontier (caller's move — fresh
+    priority/depth via ``seeds_to_frontier`` + ``frontier.append``, see
+    tests/test_cuckoo_delete.py) makes the same crawl loop schedule them
+    again. Deleting from only ONE representation is a silent no-op re-crawl
+    under the others — the mirror's anti-join or the sketch's membership
+    pass would still suppress the url — which is why this is one call.
+
+    ``keys_df``: url_hash, url_norm, host (the shape a schedule row
+    carries). Only urls KNOWN to have entered the seen set may be passed
+    (the cuckoo deletion precondition — sketch.CuckooFilter.delete). A
+    bloom sketch cannot unset bits, so a state carrying one refuses
+    loudly: TTL deployments configure ``CrawlConfig(sketch_kind="cuckoo")``
+    (or ``use_bloom=False`` with the mirror tier).
+
+    Cost/scale: O(keys) exchange to route the key batch; every stored
+    segment is rewritten through a co-partitioned LEFT-ANTI join — zero
+    exchange and zero sort on the stored side, the same class of pass as a
+    compaction, amortized over the TTL batch."""
+    import uuid
+
+    from .frontier import sketch_delete
+
+    if state.sketch is not None and state.sketch.kind != "cuckoo":
+        raise ValueError(
+            "forget_urls: the state carries a bloom sketch, which cannot "
+            "unset bits — configure CrawlConfig(sketch_kind='cuckoo') for "
+            "re-crawl-after-TTL deployments (or use_bloom=False)"
+        )
+    mat = _keyed_mat(config, state.workdir)
+    n = state.seen.n_parts
+
+    keys_hash = materialize_keyed(
+        keys_df.select("url_hash").distinct(), n_parts=n, key=state.seen.key
+    )
+    seen = SegmentedTable(
+        tuple(
+            mat(
+                seg.join(keys_hash, "url_hash", "left_anti"),
+                n_parts=n, key=state.seen.key, repartition=False,
+                sort=state.seen.sort_cols,
+            )
+            for seg in state.seen.segments
+        ),
+        n_parts=n, key=state.seen.key,
+    )
+
+    routed = None
+    if state.seen_sched is not None or state.sketch is not None:
+        routed = assign_salts_static(
+            keys_df.select("url_hash", "url_norm", "host").withColumn(
+                "host_bucket", host_bucket_col(F.col("host"))
+            ),
+            state.salts,
+        )
+
+    seen_sched = state.seen_sched
+    if seen_sched is not None:
+        routed_keys = materialize_keyed(
+            routed.select(*seen_sched.sort_cols),
+            n_parts=seen_sched.n_parts, key=FRONTIER_KEY,
+            sort=seen_sched.sort_cols,
+        )
+        seen_sched = SegmentedTable(
+            tuple(
+                mat(
+                    seg.join(routed_keys, list(seen_sched.sort_cols), "left_anti"),
+                    n_parts=seen_sched.n_parts, key=FRONTIER_KEY,
+                    repartition=False, sort=seen_sched.sort_cols,
+                )
+                for seg in seen_sched.segments
+            ),
+            n_parts=seen_sched.n_parts,
+            key=seen_sched.key,
+            id_col=seen_sched.id_col,
+        )
+
+    sketch = state.sketch
+    if sketch is not None:
+        out = os.path.join(state.workdir, f"sketch_ttl_{uuid.uuid4().hex[:8]}")
+        sketch = sketch_delete(spark, sketch, routed, out)
+
+    return replace(state, seen=seen, seen_sched=seen_sched, sketch=sketch)
+
+
 def commit_state(
     spark: SparkSession,
     state: CrawlState,

@@ -61,13 +61,21 @@ def materialize_keyed(
     ``repartition=False`` is for plans whose output is ALREADY in the layout
     (e.g. a co-partitioned SMJ or a broadcast-anti over a stored segment):
     the checkpoint then writes partition-local blocks with no exchange at
-    all — the repeat-round fast path.
+    all — the repeat-round fast path. A ``sort`` passed alongside is still
+    honored with a partition-local sort (no exchange): plans that are
+    already ordered (SMJ outputs) lose it again to Spark's
+    RemoveRedundantSorts, so only genuinely-unsorted plans — e.g. the
+    per-round mirror delta, whose plan ends at a repartition — pay it;
+    silently dropping the sort there would make every later round's
+    co-partitioned probe re-sort the stored segment instead.
     """
     spark = df.sparkSession
     keys = (key,) if isinstance(key, str) else tuple(key)
     if repartition:
         assert n_parts is not None
         df = df.repartition(n_parts, *keys).sortWithinPartitions(*(sort or keys))
+    elif sort:
+        df = df.sortWithinPartitions(*sort)
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -131,21 +139,35 @@ _DURABLE_TABLES: dict[str, str] = {}
 
 
 def _referenced_durables(df: DataFrame) -> set[str]:
-    """The durable segment tables whose data files ``df``'s plan reads —
-    identity derived from the PLAN (``inputFiles``), not from a Python
-    attribute tagged onto the frame, so a segment that was re-wrapped,
-    re-selected, or re-read from disk still protects its files. Bucketed
-    segment tables store their files directly under ``<base>/<name>/``, so
-    the parent directory's basename is the catalog name."""
+    """The durable segment tables ``df``'s plan reads — identity derived
+    from the PLAN (``inputFiles`` + the analyzed plan's catalog
+    identifiers), not from a Python attribute tagged onto the frame, so a
+    segment that was re-wrapped, re-selected, or re-read from disk still
+    protects its files. Bucketed segment tables store their files directly
+    under ``<base>/<name>/``, so the parent directory's basename is the
+    catalog name. The plan-string pass exists for EMPTY segments: a
+    zero-row bucketed table has no part files (empty write tasks emit
+    none), so ``inputFiles`` alone would miss it — leaving a superseded
+    empty segment's catalog entry leaked forever, and worse, failing to
+    protect a LIVE empty segment from a future drop. The uuid-suffixed
+    table names cannot collide with other plan text."""
+    names: set[str] = set()
     try:
-        files = df.inputFiles()
+        names |= {
+            name
+            for name in (
+                os.path.basename(os.path.dirname(f)) for f in df.inputFiles()
+            )
+            if name in _DURABLE_TABLES
+        }
     except Exception:  # e.g. a localCheckpoint-backed frame: no files
-        return set()
-    return {
-        name
-        for name in (os.path.basename(os.path.dirname(f)) for f in files)
-        if name in _DURABLE_TABLES
-    }
+        pass
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return names
+    names |= {name for name in _DURABLE_TABLES if name in plan}
+    return names
 
 
 def drop_durable_segments(spark: SparkSession, old, new) -> None:

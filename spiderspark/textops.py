@@ -184,8 +184,11 @@ def langid(spark, sf_dir):
 _TEXT_PROFILE_SQL = (
     f"SELECT doc_id, {_LANGID_CASE}, "
     # fingerprint equivalence classes == canonical-text equivalence classes
-    # (xxhash64 is injective modulo 2^-64 collisions — none at oracle scale)
-    r"count(*) OVER (PARTITION BY trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    # (xxhash64 is injective modulo 2^-64 collisions — none at oracle scale).
+    # Explicit whitespace class, NOT RE2's \s: the engine's Java \s is
+    # [ \t\n\x0B\f\r] while RE2's \s omits vertical tab — a \x0B-bearing
+    # document would land in different equivalence classes on the two sides
+    r"count(*) OVER (PARTITION BY trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"
     f" AS fp_dups FROM ({_LANGID_INNER})"
 )
 

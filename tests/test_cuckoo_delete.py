@@ -122,6 +122,93 @@ def test_cuckoo_delete_then_recrawl(spark):
     assert not (others & _hashes(s3))
 
 
+def test_forget_urls_mirror_tier_end_to_end(spark):
+    """TTL expiry under the DEFAULT seen tier: ``seen_tier='mirror'``
+    maintains the scheduler-layout seen mirror alongside the sketch, and a
+    delete that touched only the sketch would be a silent no-op (the
+    mirror's anti-join still suppresses the url forever). forget_urls must
+    expire the url from EVERY representation — exact table, mirror, cuckoo
+    sketch — so the very same mirror loop re-schedules it."""
+    from spiderspark.crawl import forget_urls
+
+    config = CrawlConfig(
+        policy=HostPolicy(default_budget=4.0), state_buckets=N,
+        sketch_kind="cuckoo",  # seen_tier left at the "mirror" default
+    )
+    assert config.seen_tier == "mirror"
+    pages = spark.createDataFrame(gen_pages_pdf(np.arange(200), 200), schema=PAGES)
+    seeds = spark.createDataFrame(seeds_pdf(12, 200), schema=SEEDS)
+    pk = keyed_pages(pages, n_parts=N)
+
+    state = init_state(spark, seeds, None, config)
+    state, s1, log1 = crawl_round(spark, state, pk, config)
+    fetched = {r["url_hash"] for r in log1.filter("status = 'fetched'").collect()}
+    target = s1.filter(F.col("url_hash").isin(list(fetched))).orderBy("rank").first()
+    assert target is not None
+    assert state.seen_sched is not None  # the mirror is live
+
+    state2, s2, _ = crawl_round(spark, state, pk, config)
+    assert target["url_hash"] not in _hashes(s2)  # suppressed while seen
+
+    key_df = spark.createDataFrame(
+        [(target["url_hash"], target["url_norm"], target["host"])],
+        "url_hash long, url_norm string, host string",
+    )
+    state3 = forget_urls(spark, state2, key_df, config)
+    # gone from every representation
+    assert target["url_hash"] not in _hashes(state3.seen.df(spark, SEEN))
+    assert target["url_hash"] not in _hashes(
+        state3.seen_sched.segments[0].unionByName(
+            *state3.seen_sched.segments[1:]
+        ) if len(state3.seen_sched.segments) > 1 else state3.seen_sched.segments[0]
+    )
+
+    reinjected = materialize_keyed(
+        assign_salts_static(
+            seeds_to_frontier(
+                spark,
+                spark.createDataFrame(
+                    [(target["url"], float(target["priority"]))], SEEDS
+                ),
+                batch_id=state3.batch_id,
+            ),
+            state3.salts,
+        ),
+        n_parts=N,
+        key=FRONTIER_KEY,
+        sort=state3.frontier.sort_cols,
+    )
+    state3 = dataclasses.replace(
+        state3, frontier=state3.frontier.append(reinjected)
+    )
+
+    state4, s3, _ = crawl_round(spark, state3, pk, config)
+    assert target["url_hash"] in _hashes(s3)  # re-scheduled by the mirror loop
+    assert target["url_hash"] in _hashes(state4.seen.df(spark, SEEN))
+    # the targeted expiry touched nothing else
+    others = fetched - {target["url_hash"]}
+    assert not (others & _hashes(s3))
+
+
+def test_forget_urls_refuses_bloom_state(spark):
+    """A state carrying a bloom sketch cannot soundly forget (bits cannot
+    be unset) — the coherent-expiry API must refuse, not silently leave a
+    stale sketch that suppresses or ghost-flags urls."""
+    from spiderspark.crawl import forget_urls
+
+    config = CrawlConfig(policy=HostPolicy(default_budget=4.0), state_buckets=N)
+    pages = spark.createDataFrame(gen_pages_pdf(np.arange(100), 100), schema=PAGES)
+    seeds = spark.createDataFrame(seeds_pdf(6, 100), schema=SEEDS)
+    state = init_state(spark, seeds, None, config)
+    state, s1, _ = crawl_round(spark, state, keyed_pages(pages, n_parts=N), config)
+    key_df = spark.createDataFrame(
+        [(0, "http://h.example/", "h.example")],
+        "url_hash long, url_norm string, host string",
+    )
+    with pytest.raises(ValueError, match="bloom"):
+        forget_urls(spark, state, key_df, config)
+
+
 def test_sketch_delete_refuses_bloom(spark):
     ref = SketchRef.create(N, 1024, 0.01, kind="bloom")
     keys = spark.range(5).select(F.col("id").alias("url_hash"))

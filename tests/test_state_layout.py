@@ -64,6 +64,35 @@ def test_materialize_keyed_smj_no_exchange_no_sort(spark):
     assert j.count() == 2000
 
 
+def test_materialize_keyed_repartition_false_honors_sort(spark):
+    """repartition=False + sort must still deliver a SORTED segment: the
+    per-round mirror delta's plan ends at a repartition (no ordering), and
+    a silently-dropped sort would make every later round's co-partitioned
+    anti-probe re-sort the stored side (the round-5 mirror contract is
+    zero exchange AND zero sort on both sides)."""
+    keys = ("host_bucket", "salt")
+    sort = ("host_bucket", "salt", "url_hash")
+    delta = spark.range(0, 4000).select(
+        (F.col("id") % 7).alias("host_bucket"),
+        (F.col("id") % 3).alias("salt"),
+        F.col("id").alias("url_hash"),
+    ).repartition(4, *keys)  # laid out but NOT sorted
+    seg = materialize_keyed(delta, key=keys, repartition=False, sort=sort)
+    probe = materialize_keyed(
+        spark.range(2000, 6000).select(
+            (F.col("id") % 7).alias("host_bucket"),
+            (F.col("id") % 3).alias("salt"),
+            F.col("id").alias("url_hash"),
+        ),
+        n_parts=4, key=keys, sort=sort,
+    )
+    j = probe.join(seg, list(sort), "left_anti")
+    plan = _plan(j)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Sort [" not in plan, plan
+    assert j.count() == 2000
+
+
 def test_segment_anti_probe_coparitioned(spark, keyed):
     seen = SegmentedTable.from_df(
         spark.range(0, 1000).select(
@@ -325,6 +354,39 @@ def test_durable_reclaim_spares_rewrapped_segments(spark):
     drop_durable_segments(spark, [rewrapped], [])
     assert not os.path.exists(path_a)
     assert name_a not in _DURABLE_TABLES
+
+
+def test_durable_reclaim_handles_empty_segments(spark):
+    """A zero-row durable segment writes NO part files, so inputFiles alone
+    cannot identify it — the analyzed-plan fallback must (a) still protect
+    a LIVE empty segment from a reclaim round and (b) actually drop a
+    superseded empty segment instead of leaking its catalog entry + dir
+    once per drained round forever."""
+    from spiderspark.state import (
+        _DURABLE_TABLES,
+        _referenced_durables,
+        drop_durable_segments,
+        materialize_keyed_durable,
+    )
+
+    base = tempfile.mkdtemp(prefix="duremptyreclaim-")
+    empty = materialize_keyed_durable(
+        spark.range(0, 0).select(F.col("id").alias("url_hash")),
+        n_parts=2, base_dir=base,
+    )
+    assert empty.inputFiles() == []  # the premise: no part files
+    (name_e,) = _referenced_durables(empty)  # plan fallback identifies it
+    path_e = _DURABLE_TABLES[name_e]
+
+    # (a) live empty segment survives a reclaim where it appears in `new`
+    drop_durable_segments(spark, [empty], [empty])
+    assert name_e in _DURABLE_TABLES and os.path.exists(path_e)
+    assert empty.count() == 0  # still readable
+
+    # (b) superseded empty segment is actually reclaimed
+    drop_durable_segments(spark, [empty], [])
+    assert name_e not in _DURABLE_TABLES
+    assert not os.path.exists(path_e)
 
 
 def test_durable_mode_crawl_matches_default_and_resumes(spark):
