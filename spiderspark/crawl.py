@@ -281,7 +281,12 @@ def keyed_pages(pages: DataFrame, n_parts: int | None = None) -> DataFrame:
 
     At 100 TB this materialization is the Iceberg pages table bucketed by
     url_hash — same layout contract, durable storage."""
-    keyed = with_canonical(pages).select("url_hash", "url_norm", "html")
+    # jvm_fast=False: the JVM-gate split plans two scans of the source, and
+    # this source carries the fat html column — one Arrow pass beats a
+    # double parquet read here
+    keyed = with_canonical(pages, jvm_fast=False).select(
+        "url_hash", "url_norm", "html"
+    )
     if n_parts is None:
         return keyed
     return materialize_keyed(keyed, n_parts)
@@ -439,8 +444,10 @@ def crawl_round(
             F.col("depth").alias("parent_depth"),
         )
     )
+    # jvm_fast=False: discovered is explode(outlinks_udf(html)) — the split's
+    # two source scans would run the HTML outlink-extraction UDF twice
     new_frontier_rows = (
-        with_canonical(discovered)
+        with_canonical(discovered, jvm_fast=False)
         .withColumn("priority", F.col("parent_priority"))
         .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
         .withColumn("salt", F.lit(0).cast("int"))

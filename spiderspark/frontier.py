@@ -66,26 +66,125 @@ def canon_host_udf(urls: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"url_norm": norm, "host": host_of_series(norm)})
 
 
+# The P5 validity filter references the UDF's outputs; Catalyst pushes that
+# predicate below the projection and DUPLICATES the Python eval — two
+# ArrowEvalPython nodes, i.e. every row crossed Arrow twice (found in the
+# round-5 plan audit; had been true since round 1). Declaring the UDF
+# nondeterministic (it is pure — this only hides it from pushdown) pins a
+# single eval with the filter above it. Plan-asserted in test_jvm_canon.
+_canon_host_udf_once = canon_host_udf.asNondeterministic()
+
+
 def host_bucket_col(host: Column, n_buckets: int = N_HOST_BUCKETS) -> Column:
     """host-hash bucket (BASELINE.json:6) — JVM-side, no Python."""
     return F.pmod(F.xxhash64(host), F.lit(n_buckets)).cast("int")
 
 
-def with_canonical(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """P2+P3+P4+bucket in one pass; invalid/non-http(s) URLs filtered (P5)."""
-    out = (
-        df.withColumn("_c", canon_host_udf(F.col(url_col)))
-        .withColumn("url_norm", F.col("_c.url_norm"))
-        .withColumn("host", F.col("_c.host"))
-        .drop("_c")
+# --- JVM-side canon fast tiers (round 5): rows provably handled by the
+# kernel's tier-1 (identity) or tier-2 (case/default-port rebuild) never
+# cross the Arrow boundary AT ALL — the crossing itself, not the kernel,
+# is the measured cost (~0.5 µs/row: a trivial passthrough mapInPandas was
+# 3.9 s of the 4.9 s kept term at 8M — BENCH/BASELINE.md round-5 §).
+#
+# Java-regex translation is CONSERVATIVE BY CONSTRUCTION: instead of
+# translating the Python probes' complement classes ([^%?#\s] — whose \s
+# differs between Python/unicode and Java/ASCII, and whose \Z≠Java \Z),
+# the JVM patterns use explicit printable-ASCII ALLOWLISTS that are strict
+# subsets of what the Python probes accept (no whitespace of any kind, no
+# controls, no non-ASCII, no %/#). Every row the JVM gate accepts is
+# therefore accepted by the Python tier-1/tier-2 probes too, whose
+# fixed-point / rebuild-equivalence proofs (canon.py) then apply verbatim;
+# every rejected row just pays the pandas kernel it pays today. Anchors:
+# Java \z is absolute end-of-input (Java \Z ≠ Python \Z — it still matches
+# before a final newline; rlike/regexp_extract use find(), so both ends
+# are anchored explicitly).
+_JVM_HOST = r"[A-Za-z0-9](?:[A-Za-z0-9.\-]*[A-Za-z0-9])?"
+_JVM_PATHQ = (
+    r"/[A-Za-z0-9/._~:@!$&'()*+,;=\-]*"
+    r"(?:\?[A-Za-z0-9/._~:@!$&'()*+,;=?\-]+)?"
+)
+# scheme↔default-port consistency is encoded structurally (http may carry
+# :80, https may carry :443, any other port falls through to the kernel)
+_JVM_FAST_RE = (
+    "^(?:[Hh][Tt][Tt][Pp]://" + _JVM_HOST + "(?::80)?"
+    "|[Hh][Tt][Tt][Pp][Ss]://" + _JVM_HOST + "(?::443)?)"
+    + _JVM_PATHQ + r"\z"
+)
+# same guard the Python tiers apply; scheme/host contain no '/', so the
+# whole-string scan is equivalent to the path+query scan
+_JVM_DOTSEG_RE = r"/\.\.?(?:/|\z)"
+_JVM_PARTS_RE = (
+    "^([A-Za-z]+)://(" + _JVM_HOST + r")(?::\d+)?(" + _JVM_PATHQ + r")\z"
+)
+
+
+def with_canonical(
+    df: DataFrame, url_col: str = "url", jvm_fast: bool | None = None
+) -> DataFrame:
+    """P2+P3+P4+bucket in one pass; invalid/non-http(s) URLs filtered (P5).
+
+    ``jvm_fast`` (default on; env kill-switch SPIDERSPARK_JVM_CANON=0):
+    split the input on the JVM identity/case-port gate — accepted rows are
+    rebuilt entirely JVM-side (lower(scheme) ++ '://' ++ lower(host) ++
+    path?query, the default port structurally dropped; for tier-1 shapes
+    the rebuild IS the input) and only the remainder crosses Arrow into
+    the pandas kernel. Byte-identical output either way (pinned in
+    tests/test_jvm_canon.py). Pass ``jvm_fast=False`` at call sites whose
+    upstream is expensive to evaluate twice (the split plans TWO scans of
+    the source): fat-column scans (pages.html) or UDF-producing plans
+    (outlink explode)."""
+    if jvm_fast is None:
+        jvm_fast = os.environ.get("SPIDERSPARK_JVM_CANON", "1") != "0"
+    url = F.col(url_col)
+
+    def _kernel_branch(part: DataFrame) -> DataFrame:
+        out = (
+            part.withColumn("_c", _canon_host_udf_once(url))
+            .withColumn("url_norm", F.col("_c.url_norm"))
+            .withColumn("host", F.col("_c.host"))
+            .drop("_c")
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+            .withColumn("host_bucket", host_bucket_col(F.col("host")))
+        )
+        return out.filter(
+            (F.col("host") != "")
+            & F.col("url_norm").startswith("http")
+            & (F.length("url_norm") <= 2048)
+        )
+
+    if not jvm_fast:
+        return _kernel_branch(df)
+    # the length pre-check makes the gate IMPLY the P5 filter on the rebuilt
+    # outputs (host ≥1 char and scheme ∈ {http,https} by regex shape;
+    # length(url_norm) ≤ length(url) — the rebuild only lowercases and drops
+    # a default port), so fast rows skip the post-filter entirely; rows
+    # failing only the length pre-check fall to the kernel branch, whose
+    # exact filter on length(url_norm) decides them as before
+    is_fast = (
+        url.rlike(_JVM_FAST_RE)
+        & ~url.rlike(_JVM_DOTSEG_RE)
+        & (F.length(url) <= 2048)
+    )
+    host_jvm = F.lower(F.regexp_extract(url, _JVM_PARTS_RE, 2))
+    fast = (
+        df.filter(is_fast)
+        .withColumn(
+            "url_norm",
+            F.concat(
+                F.lower(F.regexp_extract(url, _JVM_PARTS_RE, 1)),
+                F.lit("://"),
+                host_jvm,
+                F.regexp_extract(url, _JVM_PARTS_RE, 3),
+            ),
+        )
+        .withColumn("host", host_jvm)
         .withColumn("url_hash", F.xxhash64("url_norm"))
         .withColumn("host_bucket", host_bucket_col(F.col("host")))
     )
-    return out.filter(
-        (F.col("host") != "")
-        & F.col("url_norm").startswith("http")
-        & (F.length("url_norm") <= 2048)
-    )
+    # NULL url: rlike is NULL → the isNull disjunct routes it to the
+    # kernel (which maps it to "" → filtered there), not to limbo
+    slow = _kernel_branch(df.filter(url.isNull() | ~is_fast))
+    return fast.unionByName(slow)
 
 
 def seeds_to_frontier(spark, seeds: DataFrame, batch_id: int = 0) -> DataFrame:
