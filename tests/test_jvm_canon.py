@@ -159,3 +159,16 @@ def test_jvm_gate_coverage_on_bench_mix(spark):
     # and the accepted fraction really is byte-identical through the engine
     sample = raw.limit(2000)
     _both(spark, [r["url"] for r in sample.collect()])
+
+def test_env_kill_switch(spark, monkeypatch):
+    """SPIDERSPARK_JVM_CANON=0 must route the DEFAULT call (no explicit
+    jvm_fast arg) to the kernel-only plan — the cluster rollback lever has
+    to actually disable the split."""
+    df = spark.createDataFrame([("http://h.example/p",)], _SCHEMA)
+    monkeypatch.setenv("SPIDERSPARK_JVM_CANON", "0")
+    plan = with_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan  # no fast/slow split
+    assert plan.count("ArrowEvalPython") == 1
+    monkeypatch.delenv("SPIDERSPARK_JVM_CANON")
+    plan_on = with_canonical(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan_on
