@@ -1,13 +1,22 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio libraries — by design the Spark-side plumbing is what's real
-and tested here): ``decode_image_batch`` raises ``NotImplementedError``
-unless the deterministic fake decoder is selected, which parses the tiny
-pinned header format the synthetic generator emits. Schema, partitioning,
-UDF signatures and batch shapes are production-shaped; swapping in a real
-decoder (PIL / torchaudio / pyav) changes ONE function.
+Decoders, by tier:
+
+- ``decoder="fake"`` (default for the driver-contract queries): parses
+  the tiny pinned header format the synthetic generator emits, so the
+  full decode→extract pipeline has a closed-form SQL oracle.
+- ``decoder="real"``: a from-scratch stdlib+numpy decoder for the two
+  formats decodable without native image libraries — PNG (8-bit depth,
+  gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
+  CRC-checked; zlib inflate via the stdlib) and uncompressed 24-bit BMP
+  (BI_RGB, bottom-up or top-down, 4-byte row padding). JPEG remains a
+  documented environmental seam (needs libjpeg; ``valid=false`` rather
+  than a crash). Correctness-first, not throughput-first: PNG filter
+  types Sub/Up are lane-vectorized, Average/Paeth pay a per-scanline
+  loop — a production pipeline swaps in libjpeg-turbo/PIL behind the
+  SAME one-function seam, and the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape) is identical either way.
 
 Synthetic payload format (deterministic, seed-free):
   b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload bytes
@@ -16,6 +25,7 @@ Synthetic payload format (deterministic, seed-free):
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -44,17 +54,182 @@ def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
     return _MAGIC + _HEADER.pack(width, height, channels) + payload
 
 
+# --- real decoders (PNG spec: RFC 2083 / W3C PNG; BMP: BITMAPINFOHEADER) ---
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only; palette/16-bit rejected)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Invert the five PNG scanline filters → (height, stride) uint8.
+
+    None/Up are pure row ops; Sub is a per-lane cumulative sum (addition
+    mod 256 is associative, so cumsum(axis=0) % 256 over the (pixels, bpp)
+    lane view inverts it in one vector op); Average/Paeth carry a true
+    left-and-above dependency, so they pay a per-pixel loop vectorized
+    only across the bpp lanes — the correctness tier, not the fast one."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    if len(arr) != height * (stride + 1):
+        raise ValueError("bad decompressed length")
+    rows = arr.reshape(height, stride + 1)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub: per-lane cumsum mod 256
+            lanes = line.reshape(-1, bpp)
+            cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
+        elif ftype in (3, 4):  # Average / Paeth
+            cur = np.zeros(stride, dtype=np.int32)
+            zero = np.zeros(bpp, dtype=np.int32)
+            for x0 in range(0, stride, bpp):
+                a = cur[x0 - bpp : x0] if x0 else zero
+                b = prev[x0 : x0 + bpp]
+                if ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x0 - bpp : x0] if x0 else zero
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                cur[x0 : x0 + bpp] = (line[x0 : x0 + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def _decode_png(buf: bytes):
+    """→ (width, height, channels, pixels (h, w, c) uint8). Raises on any
+    malformation (caller maps that to valid=False). 8-bit depth, color
+    types 0/2/4/6, non-interlaced, CRC-verified, multi-IDAT."""
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError("CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    if ctype_i not in _PNG_CHANNELS or not width or not height:
+        raise ValueError("unsupported color type")
+    ch = _PNG_CHANNELS[ctype_i]
+    raw = zlib.decompress(b"".join(idat))
+    px = _png_unfilter(raw, height, width * ch, ch)
+    return width, height, ch, px.reshape(height, width, ch)
+
+
+def _decode_bmp(buf: bytes):
+    """→ (width, height, 3, pixels (h, w, 3) RGB uint8). Uncompressed
+    24-bit BI_RGB only; rows are 4-byte padded, bottom-up unless the
+    header height is negative (top-down)."""
+    if buf[:2] != b"BM" or len(buf) < 54:
+        raise ValueError("not BMP")
+    (off,) = struct.unpack_from("<I", buf, 10)
+    hsize, width, height = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp = struct.unpack_from("<HH", buf, 26)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if hsize < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError("unsupported BMP variant")
+    top_down = height < 0
+    height = abs(height)
+    if not width or not height or width < 0:
+        raise ValueError("bad dimensions")
+    stride = (width * 3 + 3) & ~3
+    end = off + stride * height
+    if end > len(buf):
+        raise ValueError("truncated pixel array")
+    rows = np.frombuffer(buf[off:end], dtype=np.uint8).reshape(height, stride)
+    px = rows[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        px = px[::-1]
+    return width, height, 3, px[:, :, ::-1]  # BGR → RGB
+
+
+def decode_image_real(blob) -> tuple:
+    """One blob → (width, height, channels, pixels | None, valid). Format
+    sniffed by magic; anything undecodable (JPEG, palette PNG, junk, None)
+    comes back valid=False — corrupt rows are data, not exceptions."""
+    if blob is None:
+        return 0, 0, 0, None, False
+    b = bytes(blob)
+    try:
+        if b[:8] == _PNG_MAGIC:
+            w, h, c, px = _decode_png(b)
+        elif b[:2] == b"BM":
+            w, h, c, px = _decode_bmp(b)
+        elif b[:4] == _MAGIC:
+            w, h, c = _HEADER.unpack_from(b, 4)
+            n = w * h * c
+            if len(b) < 9 + n or not n:
+                raise ValueError("truncated IMG1 payload")
+            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=9).reshape(
+                h, w, c
+            )
+        else:
+            raise ValueError("unknown format")
+        return w, h, c, px, True
+    except (ValueError, zlib.error, struct.error, IndexError):
+        return 0, 0, 0, None, False
+
+
 def decode_image_batch(blobs: pd.Series, decoder: str = "fake") -> pd.DataFrame:
     """Batch decode → metadata DataFrame, vectorized: the 9-byte headers of
     the whole batch are gathered into ONE (n, 9) uint8 matrix and all field
     extraction (magic check, little-endian u16 width/height, u8 channels)
     runs as numpy column ops — no per-row struct.unpack, no per-row tuples.
-    decoder='real' is the seam where PIL/libjpeg would plug in; unavailable
-    in this container."""
+    decoder='real' dispatches per blob on the sniffed magic to the
+    from-scratch PNG/BMP decoders above (JPEG → valid=False: that format
+    genuinely needs libjpeg, which this container lacks)."""
+    if decoder == "real":
+        n = len(blobs)
+        width = np.zeros(n, dtype=np.int32)
+        height = np.zeros(n, dtype=np.int32)
+        channels = np.zeros(n, dtype=np.int32)
+        valid = np.zeros(n, dtype=bool)
+        lens = np.fromiter(
+            (0 if b is None else len(b) for b in blobs), dtype=np.int64, count=n
+        )
+        for i, b in enumerate(blobs):
+            w, h, c, _px, ok = decode_image_real(b)
+            width[i], height[i], channels[i], valid[i] = w, h, c, ok
+        return pd.DataFrame(
+            {
+                "width": width,
+                "height": height,
+                "channels": channels,
+                "n_bytes": lens,
+                "valid": valid,
+            }
+        )
     if decoder != "fake":
         raise NotImplementedError(
-            "real image decoding requires PIL/libjpeg — not in this container; "
-            "use decoder='fake' (pinned synthetic format)"
+            "unknown decoder tier: " + decoder + " (use 'fake' or 'real')"
         )
     n = len(blobs)
     lens = np.fromiter(
@@ -95,15 +270,34 @@ def image_meta_udf(blob: pd.Series) -> pd.DataFrame:
     return decode_image_batch(blob)
 
 
-def mean_pixel_features(df: DataFrame, blob_col: str = "img") -> DataFrame:
+def mean_pixel_features(
+    df: DataFrame, blob_col: str = "img", decoder: str = "fake"
+) -> DataFrame:
     """Feature-extraction shape: binary → fixed-width float vector via
-    mapInPandas (the batch shape a real embedding model would use)."""
+    mapInPandas (the batch shape a real embedding model would use).
+    decoder='real' runs the PNG/BMP decoders and computes the stats over
+    the DECODED pixel samples; 'fake' keeps the closed-form payload path
+    the driver oracle checks."""
     out_schema = T.StructType(
         [
             T.StructField("item_id", T.LongType()),
             T.StructField("feat", T.ArrayType(T.DoubleType())),
         ]
     )
+
+    def extract_real(batches):
+        for pdf in batches:
+            n = len(pdf)
+            feats = np.zeros((n, 4), dtype=np.float64)
+            for i, b in enumerate(pdf[blob_col]):
+                _w, _h, _c, px, ok = decode_image_real(b)
+                if ok and px is not None and px.size:
+                    f = px.astype(np.float64)
+                    feats[i] = [f.mean(), f.std(), f.min(), f.max()]
+            yield pd.DataFrame({"item_id": pdf["item_id"], "feat": list(feats)})
+
+    if decoder == "real":
+        return df.mapInPandas(extract_real, schema=out_schema)
 
     def extract(batches):
         for pdf in batches:

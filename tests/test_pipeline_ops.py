@@ -192,9 +192,12 @@ def test_multimodal_meta_and_features(spark):
     assert feats[10] == [0.0, 0.0, 0.0, 0.0]
 
 
-def test_real_decoder_is_stubbed():
+def test_unknown_decoder_tier_raises():
+    # 'real' is now implemented (PNG/BMP — tests/test_image_decode.py);
+    # only an unknown tier name should raise
     with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"x"]), decoder="real")
+        decode_image_batch(pd.Series([b"x"]), decoder="nope")
+    assert not decode_image_batch(pd.Series([b"x"]), decoder="real")["valid"][0]
 
 
 def test_fake_image_roundtrip():
