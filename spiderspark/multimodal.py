@@ -414,3 +414,123 @@ def image_features(spark, sf_dir):
         F.round(F.element_at("feat", 3), 4).alias("f_min"),
         F.round(F.element_at("feat", 4), 4).alias("f_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV (RIFF PCM) decoded from scratch — stdlib struct + numpy, the
+# same decoder-seam pattern as the image tiers. Compressed codecs (mp3/aac/
+# opus) genuinely need native libraries → sniffed and returned invalid.
+# ---------------------------------------------------------------------------
+
+AUDIO_META = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+def decode_wav(buf) -> tuple:
+    """One blob → (sample_rate, channels, n_samples, samples (n, ch)
+    float64 in [-1, 1] | None, valid). RIFF/WAVE with PCM (format 1,
+    8/16/32-bit) or IEEE float (format 3, 32/64-bit); chunk walk tolerates
+    extra chunks (LIST, fact) and odd-length padding per the RIFF spec."""
+    if buf is None:
+        return 0, 0, 0, None, False
+    b = bytes(buf)
+    try:
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not WAV")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = b[pos + 8 : pos + 8 + clen]
+            if len(body) != clen:
+                raise ValueError("truncated chunk")
+            if cid == b"fmt ":
+                fmt = struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # RIFF pads odd chunks
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data")
+        audio_fmt, ch, rate, _byte_rate, _block, bits = fmt
+        if not ch or not rate:
+            raise ValueError("bad fmt")
+        if audio_fmt == 1 and bits == 16:
+            s = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is unsigned
+            s = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif audio_fmt == 1 and bits == 32:
+            s = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        elif audio_fmt == 3 and bits == 32:
+            s = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif audio_fmt == 3 and bits == 64:
+            s = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError("unsupported WAV encoding")
+        n = len(s) // ch
+        samples = s[: n * ch].reshape(n, ch)
+        return rate, ch, n, samples, True
+    except (ValueError, struct.error, IndexError):
+        return 0, 0, 0, None, False
+
+
+@F.pandas_udf(AUDIO_META)
+def audio_meta_udf(blob: pd.Series) -> pd.DataFrame:
+    n = len(blob)
+    rate = np.zeros(n, dtype=np.int32)
+    ch = np.zeros(n, dtype=np.int32)
+    ns = np.zeros(n, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    for i, b in enumerate(blob):
+        r, c, m, _s, ok = decode_wav(b)
+        rate[i], ch[i], ns[i], valid[i] = r, c, m, ok
+    dur = np.where(rate > 0, ns / np.maximum(rate, 1), 0.0)
+    return pd.DataFrame(
+        {
+            "sample_rate": rate,
+            "channels": ch,
+            "n_samples": ns,
+            "duration_s": dur,
+            "valid": valid,
+        }
+    )
+
+
+def audio_features(df: DataFrame, blob_col: str = "audio") -> DataFrame:
+    """binary WAV → (item_id, feat[4]): RMS, peak, zero-crossing rate,
+    duration — the fixed-width-vector batch shape an audio embedding model
+    would use, via the same mapInPandas seam as the image tier."""
+    out_schema = T.StructType(
+        [
+            T.StructField("item_id", T.LongType()),
+            T.StructField("feat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            n = len(pdf)
+            feats = np.zeros((n, 4), dtype=np.float64)
+            for i, b in enumerate(pdf[blob_col]):
+                rate, _c, m, s, ok = decode_wav(b)
+                if ok and s is not None and s.size:
+                    mono = s.mean(axis=1)
+                    zc = (
+                        float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                        / max(len(mono) - 1, 1)
+                    )
+                    feats[i] = [
+                        float(np.sqrt(np.mean(mono * mono))),
+                        float(np.abs(mono).max()),
+                        zc,
+                        m / rate,
+                    ]
+            yield pd.DataFrame({"item_id": pdf["item_id"], "feat": list(feats)})
+
+    return df.mapInPandas(extract, schema=out_schema)

@@ -224,3 +224,81 @@ def test_fake_tier_unchanged(spark):
     assert int(got["width"][0]) == 8
     assert bool(got["valid"][6]) is False  # corrupted row
     assert bool(got["valid"][10]) is False  # null row
+
+
+# --- WAV (decoder validated against the STDLIB wave module's encoder — an
+# independent implementation of the RIFF spec, not our own round trip) ---
+
+import io
+import wave
+
+from spiderspark.multimodal import audio_features, audio_meta_udf, decode_wav
+
+
+def _wav_bytes(rate, channels, samples_i16: np.ndarray) -> bytes:
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples_i16.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def test_wav_pcm16_roundtrip_vs_stdlib():
+    t = np.arange(800)
+    sig = (np.sin(2 * np.pi * t / 50) * 20000).astype(np.int16)
+    stereo = np.column_stack([sig, -sig]).reshape(-1)
+    rate, ch, n, s, ok = decode_wav(_wav_bytes(16000, 2, stereo))
+    assert ok and (rate, ch, n) == (16000, 2, 800)
+    np.testing.assert_allclose(s[:, 0], sig / 32768.0, atol=1e-12)
+    np.testing.assert_allclose(s[:, 1], -sig / 32768.0, atol=1e-12)
+
+
+def test_wav_float_and_extra_chunks():
+    """fmt 3 (IEEE float) + a LIST chunk before data + odd-length chunk
+    padding — the chunk walk must skip what it doesn't know."""
+    sig = np.linspace(-1, 1, 321, dtype=np.float32)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    odd = b"x" * 3  # odd-length chunk → 1 pad byte per RIFF
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(odd)) + odd + b"\x00"
+        + b"data" + struct.pack("<I", sig.nbytes) + sig.tobytes()
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, ch, n, s, ok = decode_wav(blob)
+    assert ok and (rate, ch, n) == (8000, 1, 321)
+    np.testing.assert_allclose(s[:, 0], sig.astype(np.float64), atol=1e-12)
+
+
+def test_wav_rejects_garbage():
+    assert not decode_wav(None)[4]
+    assert not decode_wav(b"RIFFxxxxWAVE")[4]
+    assert not decode_wav(b"\xffmp3 frame junk")[4]
+
+
+def test_audio_through_spark(spark):
+    sig = (np.sin(np.arange(400) / 7.0) * 30000).astype(np.int16)
+    rows = [
+        (0, bytearray(_wav_bytes(8000, 1, sig))),
+        (1, None),
+        (2, bytearray(b"not audio at all")),
+    ]
+    df = spark.createDataFrame(rows, "item_id long, audio binary")
+    meta = {
+        r["item_id"]: r
+        for r in df.select("item_id", audio_meta_udf("audio").alias("m"))
+        .select("item_id", "m.*")
+        .collect()
+    }
+    assert meta[0]["valid"] and meta[0]["sample_rate"] == 8000
+    assert meta[0]["n_samples"] == 400 and abs(meta[0]["duration_s"] - 0.05) < 1e-9
+    assert not meta[1]["valid"] and not meta[2]["valid"]
+    feats = {
+        r["item_id"]: r["feat"] for r in audio_features(df).collect()
+    }
+    mono = sig / 32768.0
+    assert abs(feats[0][0] - np.sqrt(np.mean(mono * mono))) < 1e-9
+    assert abs(feats[0][1] - np.abs(mono).max()) < 1e-9
+    assert feats[1] == [0.0, 0.0, 0.0, 0.0]
