@@ -534,3 +534,139 @@ def audio_features(df: DataFrame, blob_col: str = "audio") -> DataFrame:
             yield pd.DataFrame({"item_id": pdf["item_id"], "feat": list(feats)})
 
     return df.mapInPandas(extract, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# resize + video frame-sampling (the remaining two brief-mandated multimodal
+# ops). Resize is exact nearest-neighbor over decoded pixels — deterministic,
+# vectorized per image, verifiable by direct numpy indexing. Video rides the
+# documented synthetic container (real codecs — h264/vp9 — need native
+# libraries and stay environmental):
+#   b"VID1" + n_frames:uint16 + fps:uint8 + n_frames length-prefixed
+#   (uint32) frame blobs, each independently decodable (IMG1/PNG/BMP) —
+#   so sampled frames feed the image pipeline unchanged.
+# ---------------------------------------------------------------------------
+
+_VMAGIC = b"VID1"
+_VHEADER = struct.Struct("<HB")
+
+
+def encode_fake_video(frames: list, fps: int = 8) -> bytes:
+    """frames: list of image blobs (any decodable format)."""
+    out = [_VMAGIC, _VHEADER.pack(len(frames), fps)]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(bytes(f))
+    return b"".join(out)
+
+
+def _resize_nn(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor: the standard index map src = floor((i+0.5)*in/out)
+    — one fancy-index gather, no per-pixel Python."""
+    h, w = px.shape[0], px.shape[1]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return px[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    blob_col: str = "img",
+    id_col: str = "item_id",
+) -> DataFrame:
+    """binary → fixed-shape raw tensor bytes (out_h × out_w × channels,
+    row-major uint8) + dims, via mapInPandas. Invalid rows keep
+    valid=false and an empty tensor — corrupt inputs are data. The output
+    is the fixed-size batch shape a vision model consumes; at scale the
+    fixed row width also makes the downstream exchange size exactly
+    predictable (rows × (out_w·out_h·c + 16) bytes)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("px", T.BinaryType()),
+            T.StructField("valid", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, ws, hs, cs, pxs, oks = [], [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                _w, _h, c, px, ok = decode_image_real(b)
+                ids.append(i)
+                if ok and px is not None:
+                    small = _resize_nn(px, out_w, out_h)
+                    ws.append(out_w); hs.append(out_h); cs.append(c)
+                    pxs.append(small.tobytes()); oks.append(True)
+                else:
+                    ws.append(0); hs.append(0); cs.append(0)
+                    pxs.append(b""); oks.append(False)
+            yield pd.DataFrame(
+                {id_col: ids, "width": ws, "height": hs, "channels": cs,
+                 "px": pxs, "valid": oks}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    blob_col: str = "video",
+    id_col: str = "item_id",
+    max_frames: int | None = None,
+) -> DataFrame:
+    """Video frame sampling: one input row → one output row per kept frame
+    (frame_idx ≡ 0 mod every_n, optionally capped), each an independently
+    decodable image blob — feeds decode/resize/features unchanged.
+    mapInPandas emits the 1→N expansion without any explode shuffle; an
+    undecodable container yields zero rows for that item."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("fps", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, totals, fpss, blobs = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                if b is None:
+                    continue
+                bb = bytes(b)
+                if bb[:4] != _VMAGIC or len(bb) < 7:
+                    continue
+                # struct.unpack_from, not _VHEADER: the nested UDF is
+                # cloudpickled by value and a _struct.Struct global
+                # captured from the closure cannot be pickled
+                n_frames, fps = struct.unpack_from("<HB", bb, 4)
+                pos, kept = 7, 0
+                for k in range(n_frames):
+                    if pos + 4 > len(bb):
+                        break  # truncated container: keep what parsed
+                    (flen,) = struct.unpack_from("<I", bb, pos)
+                    frame = bb[pos + 4 : pos + 4 + flen]
+                    pos += 4 + flen
+                    if len(frame) != flen:
+                        break
+                    if k % every_n == 0 and (
+                        max_frames is None or kept < max_frames
+                    ):
+                        ids.append(i); idxs.append(k); totals.append(n_frames)
+                        fpss.append(fps); blobs.append(frame)
+                        kept += 1
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "n_frames": totals,
+                 "fps": fpss, "frame": blobs}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)

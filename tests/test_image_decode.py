@@ -17,6 +17,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from spiderspark.multimodal import (
     decode_image_batch,
@@ -302,3 +303,60 @@ def test_audio_through_spark(spark):
     assert abs(feats[0][0] - np.sqrt(np.mean(mono * mono))) < 1e-9
     assert abs(feats[0][1] - np.abs(mono).max()) < 1e-9
     assert feats[1] == [0.0, 0.0, 0.0, 0.0]
+
+
+# --- resize + video frame-sampling (brief-mandated multimodal ops) ---
+
+from spiderspark.multimodal import (
+    encode_fake_video,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_resize_nn_exact(spark):
+    """Nearest-neighbor resize must equal the direct numpy index map."""
+    px = _gradient(10, 8, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(make_png(px))), (1, None)], "item_id long, img binary"
+    )
+    out = {r["item_id"]: r for r in resize_images(df, 4, 5).collect()}
+    rows = np.minimum(((np.arange(5) + 0.5) * 10 / 5).astype(int), 9)
+    cols = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    want = px[rows][:, cols]
+    got = np.frombuffer(bytes(out[0]["px"]), dtype=np.uint8).reshape(5, 4, 3)
+    np.testing.assert_array_equal(got, want)
+    assert out[0]["valid"] and (out[0]["width"], out[0]["height"]) == (4, 5)
+    assert not out[1]["valid"] and bytes(out[1]["px"]) == b""
+
+
+def test_frame_sample_and_compose(spark):
+    """video → every-2nd frame → image features must equal per-frame
+    direct computation; truncated container keeps the parsed prefix."""
+    frames = [encode_fake_image(4 + k, 3, 1) for k in range(5)]
+    vid = encode_fake_video(frames, fps=12)
+    junk = b"VID1" + bytes([200, 0, 12]) + b"\x01"  # truncated
+    df = spark.createDataFrame(
+        [(0, bytearray(vid)), (1, bytearray(junk)), (2, None)],
+        "item_id long, video binary",
+    )
+    got = sample_frames(df, every_n=2).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in got] == [0, 2, 4]
+    assert all(r["item_id"] == 0 and r["n_frames"] == 5 and r["fps"] == 12 for r in got)
+    # sampled frames feed the image pipeline unchanged
+    fr = sample_frames(df, every_n=2).select(
+        F.col("frame_idx").cast("long").alias("item_id"),
+        F.col("frame").alias("img"),
+    )
+    feats = {
+        r["item_id"]: r["feat"]
+        for r in mean_pixel_features(fr, decoder="real").collect()
+    }
+    for k in (0, 2, 4):
+        _w, _h, _c, px, ok = decode_image_real(frames[k])
+        assert ok
+        f = px.astype(np.float64)
+        np.testing.assert_allclose(feats[k][0], f.mean(), rtol=1e-12)
+    # cap
+    capped = sample_frames(df, every_n=1, max_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in capped) == [0, 1]
