@@ -59,6 +59,9 @@ def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (8-bit depth only; palette/16-bit rejected)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# per-image decoded-size budget (256 MB): dims are attacker-controlled at
+# web scale; anything larger is rejected as invalid, never allocated
+_MAX_PIXEL_BYTES = 256 * 1024 * 1024
 
 
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -69,11 +72,12 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     lane view inverts it in one vector op); Average/Paeth carry a true
     left-and-above dependency, so they pay a per-pixel loop vectorized
     only across the bpp lanes — the correctness tier, not the fast one."""
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
     arr = np.frombuffer(raw, dtype=np.uint8)
     if len(arr) != height * (stride + 1):
         raise ValueError("bad decompressed length")
+    # validate BEFORE allocating: dims come from attacker-controlled bytes
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
     rows = arr.reshape(height, stride + 1)
     for y in range(height):
         ftype = int(rows[y, 0])
@@ -139,7 +143,18 @@ def _decode_png(buf: bytes):
     if ctype_i not in _PNG_CHANNELS or not width or not height:
         raise ValueError("unsupported color type")
     ch = _PNG_CHANNELS[ctype_i]
-    raw = zlib.decompress(b"".join(idat))
+    if width * height * ch > _MAX_PIXEL_BYTES:
+        raise ValueError("image exceeds decode pixel budget")
+    # bound the inflate by the IHDR-derived exact size: web-scale inputs
+    # are adversarial, and an unbounded zlib.decompress turns a 100 KB
+    # decompression bomb into a multi-GB allocation inside an executor.
+    # decompressobj(max_length) stops at the budget; any trailing
+    # compressed input or a short stream is a malformation, not a crash.
+    expected = height * (width * ch + 1)
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), expected)
+    if d.unconsumed_tail or len(raw) != expected:
+        raise ValueError("IDAT stream does not match IHDR dimensions")
     px = _png_unfilter(raw, height, width * ch, ch)
     return width, height, ch, px.reshape(height, width, ch)
 

@@ -360,3 +360,36 @@ def test_frame_sample_and_compose(spark):
     # cap
     capped = sample_frames(df, every_n=1, max_frames=2).collect()
     assert sorted(r["frame_idx"] for r in capped) == [0, 1]
+
+
+def test_png_decompression_bomb_rejected():
+    """A tiny blob whose IDAT inflates far past its IHDR dims (or whose
+    IHDR claims absurd dims) must be rejected WITHOUT the big allocation."""
+    # IHDR says 2x2 gray but IDAT inflates to ~1 MB → trailing data → invalid
+    bomb = zlib.compress(b"\x00" * 1_000_000)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    assert not decode_image_real(blob)[4]
+    # IHDR claiming dims past the pixel budget → rejected before inflate
+    huge = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", huge)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    assert not decode_image_real(blob2)[4]
+    # short stream (IDAT inflates to LESS than IHDR needs) → invalid
+    short = struct.pack(">IIBBBBB", 8, 8, 8, 2, 0, 0, 0)
+    blob3 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", short)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    assert not decode_image_real(blob3)[4]
