@@ -43,10 +43,29 @@ def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly reproducible in ANSI SQL (DuckDB has no xxhash64; the hash
     VALUES themselves are pinned by tests/test_hashing.py instead)."""
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # Two messy shapes by doc_id parity, both canonicalizing to the SAME
+    # closed form /d/<id>/?x=~ (so the oracle below needs one CASE only on
+    # the raw url column):
+    #  - even: '%7e' + mid-path '/a/../' + trailing '/.' before '?' — pays
+    #    the full kernel (pct escape forces it) and exerces every clause;
+    #  - odd:  NO '%', case+default-port only, and a dot segment terminated
+    #    by '?' ('/x/..?') — exactly the fast-tier shape whose guard the
+    #    round-5 kernel got wrong (VERDICT r05 item 2). This row takes the
+    #    tier-2/JVM-gate path, so any future guard regression fails the
+    #    DRIVER's oracle hash check, not just the local pytest suite.
+    parity = F.col("doc_id") % 2
     messy = docs.select(
-        F.concat(
-            F.lit("HTTP://"), F.upper("source"), F.lit(".Example:80/a/../d/"),
-            F.col("doc_id"), F.lit("?x=%7e"),
+        F.when(
+            parity == 0,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"), F.lit(".Example:80/a/../d/"),
+                F.col("doc_id"), F.lit("/.?x=%7e"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"), F.lit(".Example:80/d/"),
+                F.col("doc_id"), F.lit("/x/..?x=~"),
+            )
         ).alias("url"),
         F.col("doc_id").cast("double").alias("priority"),
     )
@@ -56,7 +75,7 @@ def _documents_as_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = docs.select(
         F.concat(
             F.lit("http://"), F.lower("source"), F.lit(".example/d/"),
-            F.col("doc_id"), F.lit("?x=~"),
+            F.col("doc_id"), F.lit("/?x=~"),
         ).alias("url"),
         F.col("doc_id").cast("double").alias("priority"),
     )
@@ -71,7 +90,7 @@ def _pre_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(F.col("doc_id") % 7 == 0).select(
         F.concat(
             F.lit("http://"), F.lower("source"), F.lit(".example/d/"),
-            F.col("doc_id"), F.lit("?x=~"),
+            F.col("doc_id"), F.lit("/?x=~"),
         ).alias("url")
     )
 
@@ -175,19 +194,23 @@ def crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CRAWL_SCHEDULE_ORACLE = """
 WITH seeds AS (
-  SELECT 'HTTP://' || upper(source) || '.Example:80/a/../d/' || doc_id
-           || '?x=%7e' AS url,
+  SELECT CASE doc_id % 2
+           WHEN 0 THEN 'HTTP://' || upper(source) || '.Example:80/a/../d/'
+                         || doc_id || '/.?x=%7e'
+           ELSE 'HTTP://' || upper(source) || '.Example:80/d/' || doc_id
+                  || '/x/..?x=~'
+         END AS url,
          'http://' || lower(source) || '.example/d/' || doc_id
-           || '?x=~' AS url_norm,
+           || '/?x=~' AS url_norm,
          lower(source) || '.example' AS host,
          CAST(doc_id AS DOUBLE) AS priority,
          doc_id
   FROM documents
   UNION ALL
   SELECT 'http://' || lower(source) || '.example/d/' || doc_id
-           || '?x=~' AS url,
+           || '/?x=~' AS url,
          'http://' || lower(source) || '.example/d/' || doc_id
-           || '?x=~' AS url_norm,
+           || '/?x=~' AS url_norm,
          lower(source) || '.example' AS host,
          CAST(doc_id AS DOUBLE) AS priority,
          doc_id

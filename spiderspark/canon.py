@@ -125,7 +125,13 @@ def remove_dot_segments(path: str) -> str:
 _FAST_IDENTITY_RE = re.compile(
     r"^https?://[a-z0-9](?:[a-z0-9.\-]*[a-z0-9])?/[^%?#\s]*(?:\?[^%#\s]+)?\Z"
 )
-_FAST_DOTSEG_GUARD = re.compile(r"/\.\.?(?:/|$)")
+# A dot segment ('.' or '..') ends at '/', at the start of the query ('?'),
+# or at end-of-string ('#' cannot occur — the identity/case-port shapes
+# reject fragments outright). The guard scans path+query, so a '/.' inside
+# the query over-rejects to the full kernel — conservative, never unsound.
+# Round-5 shipped without the '?' terminator and 'HTTP://0/.?0' escaped the
+# guard (VERDICT r05 item 1); the counterexample is pinned in test_canon.
+_FAST_DOTSEG_GUARD = re.compile(r"/\.\.?(?=[/?]|$)")
 
 # Tier-2 cheap-fix path: rows whose ONLY deviations from the identity shape
 # are scheme/host letter case and/or an explicit default port — the two most

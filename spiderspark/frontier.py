@@ -111,8 +111,10 @@ _JVM_FAST_RE = (
     + _JVM_PATHQ + r"\z"
 )
 # same guard the Python tiers apply; scheme/host contain no '/', so the
-# whole-string scan is equivalent to the path+query scan
-_JVM_DOTSEG_RE = r"/\.\.?(?:/|\z)"
+# whole-string scan is equivalent to the path+query scan. '?' terminates a
+# dot segment (start of query); '#' cannot occur in gate-accepted rows. A
+# '/.' inside the query over-rejects to the kernel — conservative.
+_JVM_DOTSEG_RE = r"/\.\.?(?:[/?]|\z)"
 _JVM_PARTS_RE = (
     "^([A-Za-z]+)://(" + _JVM_HOST + r")(?::\d+)?(" + _JVM_PATHQ + r")\z"
 )
@@ -132,7 +134,18 @@ def with_canonical(
     tests/test_jvm_canon.py). Pass ``jvm_fast=False`` at call sites whose
     upstream is expensive to evaluate twice (the split plans TWO scans of
     the source): fat-column scans (pages.html) or UDF-producing plans
-    (outlink explode)."""
+    (outlink explode).
+
+    CORRECTNESS requirement, not just a cost trade: the split evaluates
+    the source plan twice (``df.filter(is_fast)`` unioned with its
+    complement), so the upstream MUST be deterministic. A plan containing
+    ``rand()``, ``sample()``, a nondeterministic UDF, or a re-read of
+    mutable storage can disagree between the two scans and silently
+    duplicate or drop rows. For such inputs either pass
+    ``jvm_fast=False`` (single-scan kernel path) or materialize first
+    (``df.localCheckpoint()`` / ``.cache()`` + count) before calling.
+    Every in-repo call site is deterministic; this contract is on the
+    public API's callers."""
     if jvm_fast is None:
         jvm_fast = os.environ.get("SPIDERSPARK_JVM_CANON", "1") != "0"
     url = F.col(url_col)

@@ -6,15 +6,17 @@ Decoders, by tier:
 - ``decoder="fake"`` (default for the driver-contract queries): parses
   the tiny pinned header format the synthetic generator emits, so the
   full decode→extract pipeline has a closed-form SQL oracle.
-- ``decoder="real"``: a from-scratch stdlib+numpy decoder for the two
-  formats decodable without native image libraries — PNG (8-bit depth,
-  gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
-  CRC-checked; zlib inflate via the stdlib) and uncompressed 24-bit BMP
-  (BI_RGB, bottom-up or top-down, 4-byte row padding). JPEG remains a
-  documented environmental seam (needs libjpeg; ``valid=false`` rather
-  than a crash). Correctness-first, not throughput-first: PNG filter
-  types Sub/Up are lane-vectorized, Average/Paeth pay a per-scanline
-  loop — a production pipeline swaps in libjpeg-turbo/PIL behind the
+- ``decoder="real"``: from-scratch stdlib+numpy decoders — PNG (8-bit
+  depth, gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
+  CRC-checked; zlib inflate via the stdlib), uncompressed 24-bit BMP
+  (BI_RGB, bottom-up or top-down, 4-byte row padding), and baseline JPEG
+  (see jpeg.py: SOF0/SOF1, huffman entropy decode, restart markers,
+  arbitrary chroma subsampling, numpy IDCT, BT.601 color convert).
+  Progressive JPEG and compressed audio/video codecs remain documented
+  environmental seams (``valid=false`` rather than a crash).
+  Correctness-first, not throughput-first: PNG filter types Sub/Up are
+  lane-vectorized, Average/Paeth and the JPEG entropy loop pay Python
+  loops — a production pipeline swaps in libjpeg-turbo/PIL behind the
   SAME one-function seam, and the Spark-side plumbing (schema,
   partitioning, UDF signature, batch shape) is identical either way.
 
@@ -31,6 +33,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+from . import jpeg as _jpeg
 from .queries import q, _t
 
 IMAGE_META = T.StructType(
@@ -60,8 +63,9 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 # color type → samples per pixel (8-bit depth only; palette/16-bit rejected)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 # per-image decoded-size budget (256 MB): dims are attacker-controlled at
-# web scale; anything larger is rejected as invalid, never allocated
-_MAX_PIXEL_BYTES = 256 * 1024 * 1024
+# web scale; anything larger is rejected as invalid, never allocated.
+# Shared with the JPEG decoder (single source of truth over there).
+_MAX_PIXEL_BYTES = _jpeg.MAX_PIXEL_BYTES
 
 
 def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
@@ -186,16 +190,102 @@ def _decode_bmp(buf: bytes):
     return width, height, 3, px[:, :, ::-1]  # BGR → RGB
 
 
+def image_header_meta(blob) -> tuple:
+    """One blob → (width, height, channels, valid) from HEADERS ONLY — no
+    inflate, no unfilter, no pixel allocation. The metadata path of
+    decode_image_batch(decoder='real') uses this: a 100 TB metadata sweep
+    should not pay a full pixel decode per image just to report dims.
+
+    'valid' here means STRUCTURALLY valid: magic + header parse, the same
+    supported-variant checks as the pixel decoders (8-bit non-interlaced
+    PNG color types 0/2/4/6; baseline-JPEG SOF0/SOF1 via jpeg_header_meta;
+    24-bit BI_RGB BMP with an in-bounds pixel array; complete IMG1
+    payload), the 256 MB pixel budget, IHDR CRC, and IDAT presence for
+    PNG. Deep validity (per-chunk CRCs, inflate-vs-IHDR consistency,
+    entropy-stream integrity) is only asserted on the pixel paths
+    (decode_image_real) — a blob can be header-valid yet fail the full
+    decode."""
+    if blob is None:
+        return 0, 0, 0, False
+    b = bytes(blob)
+    try:
+        if b[:8] == _PNG_MAGIC:
+            # IHDR must be the first chunk (PNG spec); CRC-check just it,
+            # then walk chunk HEADERS (skip data by length) for an IDAT
+            (clen,) = struct.unpack_from(">I", b, 8)
+            if clen != 13 or b[12:16] != b"IHDR":
+                raise ValueError("missing IHDR")
+            (crc,) = struct.unpack_from(">I", b, 29)
+            if zlib.crc32(b[12:29]) & 0xFFFFFFFF != crc:
+                raise ValueError("IHDR CRC mismatch")
+            width, height, depth, ctype_i, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", b[16:29])
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+            if ctype_i not in _PNG_CHANNELS or not width or not height:
+                raise ValueError("unsupported color type")
+            ch = _PNG_CHANNELS[ctype_i]
+            if width * height * ch > _MAX_PIXEL_BYTES:
+                raise ValueError("image exceeds decode pixel budget")
+            pos, has_idat = 33, False
+            while pos + 8 <= len(b):
+                (clen,) = struct.unpack_from(">I", b, pos)
+                ctype = b[pos + 4 : pos + 8]
+                if pos + 12 + clen > len(b):
+                    raise ValueError("truncated chunk")
+                if ctype == b"IDAT":
+                    has_idat = True
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + clen
+            if not has_idat:
+                raise ValueError("missing IDAT")
+            return width, height, ch, True
+        if b[:2] == b"\xff\xd8":
+            return _jpeg.jpeg_header_meta(b)
+        if b[:2] == b"BM":
+            if len(b) < 54:
+                raise ValueError("not BMP")
+            (off,) = struct.unpack_from("<I", b, 10)
+            hsize, width, height = struct.unpack_from("<Iii", b, 14)
+            planes, bpp = struct.unpack_from("<HH", b, 26)
+            (compression,) = struct.unpack_from("<I", b, 30)
+            if hsize < 40 or planes != 1 or bpp != 24 or compression != 0:
+                raise ValueError("unsupported BMP variant")
+            height_abs = abs(height)
+            if not width or not height_abs or width < 0:
+                raise ValueError("bad dimensions")
+            if width * height_abs * 3 > _MAX_PIXEL_BYTES:
+                raise ValueError("image exceeds decode pixel budget")
+            stride = (width * 3 + 3) & ~3
+            if off + stride * height_abs > len(b):
+                raise ValueError("truncated pixel array")
+            return width, height_abs, 3, True
+        if b[:4] == _MAGIC:
+            w, h, c = _HEADER.unpack_from(b, 4)
+            n = w * h * c
+            if len(b) < 9 + n or not n:
+                raise ValueError("truncated IMG1 payload")
+            return w, h, c, True
+        raise ValueError("unknown format")
+    except (ValueError, zlib.error, struct.error, IndexError):
+        return 0, 0, 0, False
+
+
 def decode_image_real(blob) -> tuple:
     """One blob → (width, height, channels, pixels | None, valid). Format
-    sniffed by magic; anything undecodable (JPEG, palette PNG, junk, None)
-    comes back valid=False — corrupt rows are data, not exceptions."""
+    sniffed by magic (PNG, baseline JPEG, BMP, IMG1); anything undecodable
+    (progressive JPEG, palette PNG, junk, None) comes back valid=False —
+    corrupt rows are data, not exceptions."""
     if blob is None:
         return 0, 0, 0, None, False
     b = bytes(blob)
     try:
         if b[:8] == _PNG_MAGIC:
             w, h, c, px = _decode_png(b)
+        elif b[:2] == b"\xff\xd8":
+            w, h, c, px = _jpeg.decode_jpeg(b)
         elif b[:2] == b"BM":
             w, h, c, px = _decode_bmp(b)
         elif b[:4] == _MAGIC:
@@ -219,8 +309,11 @@ def decode_image_batch(blobs: pd.Series, decoder: str = "fake") -> pd.DataFrame:
     extraction (magic check, little-endian u16 width/height, u8 channels)
     runs as numpy column ops — no per-row struct.unpack, no per-row tuples.
     decoder='real' dispatches per blob on the sniffed magic to the
-    from-scratch PNG/BMP decoders above (JPEG → valid=False: that format
-    genuinely needs libjpeg, which this container lacks)."""
+    HEADER-ONLY parser (image_header_meta): metadata needs dims + a
+    structural validity check, not an inflate+unfilter per image — the
+    full pixel decode is reserved for the feature/resize paths (for JPEG
+    that means marker-walk to SOF0, never entropy decode). Progressive
+    JPEG → valid=False (baseline-only decoder, jpeg.py)."""
     if decoder == "real":
         n = len(blobs)
         width = np.zeros(n, dtype=np.int32)
@@ -231,7 +324,7 @@ def decode_image_batch(blobs: pd.Series, decoder: str = "fake") -> pd.DataFrame:
             (0 if b is None else len(b) for b in blobs), dtype=np.int64, count=n
         )
         for i, b in enumerate(blobs):
-            w, h, c, _px, ok = decode_image_real(b)
+            w, h, c, ok = image_header_meta(b)
             width[i], height[i], channels[i], valid[i] = w, h, c, ok
         return pd.DataFrame(
             {
@@ -313,6 +406,12 @@ def mean_pixel_features(
 
     if decoder == "real":
         return df.mapInPandas(extract_real, schema=out_schema)
+    if decoder != "fake":
+        # mirror decode_image_batch: a typo'd tier must fail loudly on the
+        # driver, not silently fall through to all-zero fake features
+        raise NotImplementedError(
+            "unknown decoder tier: " + decoder + " (use 'fake' or 'real')"
+        )
 
     def extract(batches):
         for pdf in batches:
@@ -641,6 +740,10 @@ def sample_frames(
     decodable image blob — feeds decode/resize/features unchanged.
     mapInPandas emits the 1→N expansion without any explode shuffle; an
     undecodable container yields zero rows for that item."""
+    if every_n < 1:
+        # validate on the DRIVER: every_n=0 would otherwise surface as an
+        # opaque ZeroDivisionError inside an executor task
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

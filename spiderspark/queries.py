@@ -676,27 +676,59 @@ def scan_snapshot(spark, sf_dir):
 @q(
     "canonicalize_urls",
     # the synthetic variants normalize to a closed form (lowercase scheme +
-    # host, default port stripped, /a/../ dot segments resolved, %7e →
-    # unreserved ~), so the RFC-3986 kernel is value-checkable in plain SQL;
-    # the xxhash64 identity (P3) is pinned separately by test_spark_parity
-    "SELECT 'HTTP://' || upper(source) || '.Example:80/a/../d/' || doc_id "
-    "|| '?x=%7e' AS url, "
-    "'http://' || source || '.example/d/' || doc_id || '?x=~' AS url_norm, "
+    # host, default port stripped, dot segments resolved — INCLUDING the
+    # '/.'-and-'/..'-immediately-before-'?' shapes that escaped the round-5
+    # fast-tier guard, %7e → unreserved ~), so the RFC-3986 kernel is
+    # value-checkable in plain SQL; the xxhash64 identity (P3) is pinned
+    # separately by test_spark_parity
+    "SELECT CASE doc_id % 3 "
+    "  WHEN 0 THEN 'HTTP://' || upper(source) || '.Example:80/a/../d/' "
+    "                || doc_id || '?x=%7e' "
+    "  WHEN 1 THEN 'HTTP://' || upper(source) || '.Example:80/d/' "
+    "                || doc_id || '/.?x=1' "
+    "  ELSE 'http://' || source || '.example/a/..?d=' || doc_id END AS url, "
+    "'http://' || source || '.example' || "
+    "CASE doc_id % 3 "
+    "  WHEN 0 THEN '/d/' || doc_id || '?x=~' "
+    "  WHEN 1 THEN '/d/' || doc_id || '/?x=1' "
+    "  ELSE '/?d=' || doc_id END AS url_norm, "
     "source || '.example' AS host FROM documents",
 )
 def canonicalize_urls(spark, sf_dir):
     """RFC-3986 canonicalization over synthetic pre-normalization variants
-    derived from documents — one Arrow crossing."""
+    derived from documents — one Arrow crossing at most. Three messy shapes
+    by doc_id mod 3, one per execution tier, so the driver's value check
+    covers each tier's guard (the round-5 hole class — dot segment
+    terminated by '?' — sits on tiers 1 and 2):
+      0: '%7e' + mid-path '/a/../'      → full pandas kernel (pct forces it)
+      1: case+port + '/<id>/.?x=1'      → tier-2 case/port rebuild path
+      2: lowercase no-port '/a/..?d='   → tier-1 identity probe path
+    """
     from .frontier import with_canonical
 
+    variant = F.col("doc_id") % 3
     docs = _t(spark, sf_dir, "documents").select(
-        F.concat(
-            F.lit("HTTP://"),
-            F.upper("source"),
-            F.lit(".Example:80/a/../d/"),
-            F.col("doc_id"),
-            F.lit("?x=%7e"),
-        ).alias("url")
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"),
+                F.lit(".Example:80/a/../d/"), F.col("doc_id"), F.lit("?x=%7e"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"),
+                F.lit(".Example:80/d/"), F.col("doc_id"), F.lit("/.?x=1"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example/a/..?d="), F.col("doc_id"),
+            )
+        )
+        .alias("url")
     )
     return with_canonical(docs).select("url", "url_norm", "host")
 

@@ -177,7 +177,7 @@ def test_crawl_delay_series():
 # pass-through must be byte-identical to the full kernel on EVERY input
 # ---------------------------------------------------------------------------
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 from spiderspark.canon import (  # noqa: E402
     _FAST_CASEPORT_RE,
@@ -212,6 +212,12 @@ def test_fast_path_parity_representative_mix():
         "http://h.example/.well-known/x",          # '/.': guard → slow (conservative)
         "http://h.example/p/..",                   # trailing dot-seg → slow
         "http://h.example/p?q=/../x",              # dot-seg in QUERY → slow (conservative)
+        "http://h.example/.?q",                    # dot-seg before '?' (r5 hole) → slow
+        "http://h.example/..?q",                   # '..' before '?' → slow
+        "http://h.example/a/..?q",                 # mid-path '..' before '?' → slow
+        "http://h.example/a/.?x=1",                # '.' before '?' → slow
+        "http://h.example/a/..#f",                 # dot-seg before '#' → slow (fragment)
+        "http://h.example/.#f",                    # '.' before '#' → slow (fragment)
         "https://h.example/",                      # minimal fast https
         "ftp://h.example/p",                       # non-http scheme → slow
         "host.example/p",                          # schemeless → slow
@@ -221,21 +227,39 @@ def test_fast_path_parity_representative_mix():
     ])
 
 
-@settings(max_examples=300, deadline=None)
+# derandomize=True: the round-5 dot-segment hole shipped because a sampled
+# run happened not to draw the failing shape — with derandomization plus the
+# explicit @example pins below, green is reproducible green (VERDICT r05
+# item 3). Known counterexamples are pinned forever regardless of sampling.
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+@example(urls=["HTTP://0/.?0"])
 def test_fast_path_parity_arbitrary_text(urls):
     _parity(urls)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(st.lists(st.from_regex(_FAST_IDENTITY_RE, fullmatch=True), min_size=1, max_size=8))
+@example(urls=["http://0/.?0"])
+@example(urls=["http://h/a/..?q", "http://h/..?q", "http://h/.?q"])
 def test_fast_path_parity_fast_shaped(urls):
     """Inputs the fast tier actually accepts: fixed-point claim holds."""
     _parity(urls)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(st.lists(st.from_regex(_FAST_CASEPORT_RE, fullmatch=True), min_size=1, max_size=8))
+@example(
+    urls=[
+        "HTTP://0/",
+        "HTTP://0/",
+        "HTTP://0/",
+        "HTTP://0/",
+        "HTTP://0/",
+        "HTTP://0/.?0",
+    ],
+)  # round-5 shipped counterexample (Hypothesis patch 2026-08-17--108db1c5)
+@example(urls=["HTTP://H.example:80/a/..?q"])
 def test_fast_path_parity_caseport_shaped(urls):
     """Inputs the tier-2 cheap-fix pattern accepts (any scheme/host case,
     any :80/:443 port combination — including the NON-default pairs the
@@ -261,6 +285,8 @@ def test_fast_path_parity_caseport_mix():
         "HTTP://h.example:8080/p",           # other port → full kernel
         "HTTP://HOST.example:80/a/../p",     # caseport + dot-seg → full kernel
         "HTTP://HOST.example:80/p?x=/../y",  # dot-seg in query → full kernel
+        "HTTP://HOST.example:80/a/..?q",     # caseport + dot-seg before '?' → full kernel
+        "HTTPS://H.example:443/.?q",         # '.' before '?' → full kernel
         "HTTP://h.example:80/p?",            # empty query → full kernel
         "HTTP://-h.example/p",               # leading hyphen host → full kernel
         "HTTPS://A/p",                       # single-char host → tier 2

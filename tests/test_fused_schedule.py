@@ -290,7 +290,9 @@ def _kernel_inputs(draw):
     return hkey, prio, depth, batch, keys, maybe, k
 
 
-@settings(max_examples=300, deadline=None)
+# derandomize: shipped-green must be reproducible green (same policy as the
+# canon parity pins — VERDICT r05 item 3)
+@settings(max_examples=300, deadline=None, derandomize=True)
 @given(_kernel_inputs(), st.randoms(use_true_random=False))
 def test_guarded_prefix_keep_is_exact_superset(inputs, rng):
     """For ANY truth assignment consistent with the sketch semantics

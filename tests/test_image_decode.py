@@ -393,3 +393,94 @@ def test_png_decompression_bomb_rejected():
         + _chunk(b"IEND", b"")
     )
     assert not decode_image_real(blob3)[4]
+
+
+# --- header-only metadata path (round 6: metadata must not pay a full
+# pixel decode — ADVICE r05) -------------------------------------------------
+
+from spiderspark.multimodal import image_header_meta  # noqa: E402
+
+
+def test_header_meta_matches_full_decode_on_good_blobs():
+    """On well-formed PNG/BMP/IMG1 the header path and the pixel decoder
+    must report identical (w, h, c, valid)."""
+    blobs = [
+        make_png(_gradient(6, 5, 3)),
+        make_png(_gradient(3, 2, 1)),
+        make_png(_gradient(4, 4, 4), split_idat=True),
+        make_bmp(_gradient(5, 3, 3)),
+        make_bmp(_gradient(2, 4, 3), top_down=True),
+        encode_fake_image(8, 6, 3),
+        None,
+        b"\xff\xd8\xff\xe0 jpeg junk",
+        b"",
+    ]
+    for b in blobs:
+        w, h, c, ok = image_header_meta(b)
+        fw, fh, fc, _px, fok = decode_image_real(b)
+        assert (w, h, c, ok) == (fw, fh, fc, fok), repr(b)[:40]
+
+
+def test_header_meta_structural_rejections():
+    """Header-level malformations the cheap path must still catch."""
+    good = make_png(_gradient(4, 4, 3))
+    # IHDR CRC flipped
+    bad_crc = bytearray(good)
+    bad_crc[29] ^= 0xFF
+    assert not image_header_meta(bytes(bad_crc))[3]
+    # pixel-budget bomb dims rejected without allocation
+    huge = struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", huge)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64)) + _chunk(b"IEND", b"")
+    )
+    assert not image_header_meta(bomb)[3]
+    # no IDAT chunk at all
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    no_idat = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    assert not image_header_meta(no_idat)[3]
+    # truncated BMP pixel array
+    bmp = bytearray(make_bmp(_gradient(5, 3, 3)))
+    assert not image_header_meta(bytes(bmp[:-8]))[3]
+    # interlaced PNG (unsupported variant)
+    inter = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", inter)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8)) + _chunk(b"IEND", b"")
+    )
+    assert not image_header_meta(blob)[3]
+
+
+def test_header_meta_is_shallow_by_contract():
+    """Documented semantics: a header-valid blob whose IDAT is garbage is
+    valid=True on the metadata path but valid=False on the pixel path —
+    deep validity is only asserted where pixels are actually needed."""
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"not-zlib-data") + _chunk(b"IEND", b"")
+    )
+    assert image_header_meta(blob) == (4, 4, 3, True)
+    assert not decode_image_real(blob)[4]
+    # and the batch metadata API routes through the header path
+    meta = decode_image_batch(pd.Series([blob]), decoder="real")
+    assert bool(meta["valid"][0]) and int(meta["width"][0]) == 4
+
+
+def test_unknown_decoder_tier_raises_everywhere(spark):
+    """A typo'd tier must fail loudly, not fall back to fake features."""
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_fake_image(4, 4, 3)))], "item_id long, img binary"
+    )
+    with pytest.raises(NotImplementedError):
+        mean_pixel_features(df, decoder="reall")
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"x"]), decoder="reall")
+
+
+def test_sample_frames_validates_every_n(spark):
+    from spiderspark.multimodal import sample_frames
+
+    df = spark.createDataFrame([(0, bytearray(b""))], "item_id long, video binary")
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(df, every_n=0)

@@ -60,6 +60,14 @@ ADVERSARIAL = [
     "http://h.example/.well-known/x",
     "http://h.example/p/..",
     "http://h.example/p?q=/../x",
+    # dot segment terminated by '?' — the round-5 guard hole (VERDICT r05):
+    # must route to the kernel in BOTH the JVM gate and the pandas tiers
+    "http://h.example/.?q",
+    "http://h.example/..?q",
+    "http://h.example/a/..?q",
+    "HTTP://0/.?0",
+    "HTTP://HOST.example:80/a/..?q",
+    "http://h.example/a/.?x=%7e",
     "https://h.example/",
     "ftp://h.example/p",
     "host.example/p",
