@@ -96,7 +96,11 @@ def _pre_seen_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def schedule_round_df(
-    spark: SparkSession, sf_dir: str, budget: float = 8.0, tier: str = "mirror"
+    spark: SparkSession,
+    sf_dir: str,
+    budget: float = 8.0,
+    tier: str = "mirror",
+    forget_mod: int | None = None,
 ) -> DataFrame:
     """One scheduling round of the real engine (crawl.select_round — the
     same code crawl_round runs) over testdata-derived seeds, against a
@@ -114,10 +118,18 @@ def schedule_round_df(
       against the url_hash-keyed seen table + two-phase window.
     All three produce the identical schedule (the sketch has no false
     negatives and its maybe-sliver is exactly anti-joined; the mirror is
-    exact by construction)."""
+    exact by construction).
+
+    ``forget_mod`` (mirror tier only): after seeding the pre-seen state,
+    TTL-expire every ``forget_mod``-th document's URL via
+    crawl.forget_urls — the coherent delete across the exact seen table
+    AND the scheduler-layout mirror — so those documents become
+    schedulable again. With forget_mod=14 the effective exclusion set is
+    closed-form (doc_id % 7 == 0 AND doc_id % 14 != 0), which is what
+    makes the re-crawl-after-expiry path ORACLE-checkable."""
     import dataclasses
 
-    from spiderspark.crawl import CrawlConfig, init_state, select_round
+    from spiderspark.crawl import CrawlConfig, forget_urls, init_state, select_round
     from spiderspark.frontier import with_canonical, write_sketch_delta
     from spiderspark.politeness import HostPolicy
     from spiderspark.schedule import assign_salts_static, to_schedule
@@ -163,6 +175,21 @@ def schedule_round_df(
     state = dataclasses.replace(
         state, seen=seen, sketch=sketch, seen_sched=seen_sched
     )
+    if forget_mod is not None:
+        if tier != "mirror":
+            raise ValueError("forget_mod is a mirror-tier exercise")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        expired = with_canonical(
+            docs.filter(F.col("doc_id") % forget_mod == 0).select(
+                F.concat(
+                    F.lit("http://"), F.lower("source"), F.lit(".example/d/"),
+                    F.col("doc_id"), F.lit("/?x=~"),
+                ).alias("url")
+            )
+        )
+        state = forget_urls(
+            spark, state, expired.select("url_hash", "url_norm", "host"), config
+        )
     selected = select_round(spark, state, config)
     return to_schedule(selected, batch_id=1)
 
@@ -183,13 +210,25 @@ def crawl_schedule_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     path tags. url_hash is dropped from the projection (DuckDB lacks
     xxhash64; hash values are pinned by tests/test_hashing.py); the seeds'
     unique priorities make the schedule independent of the hash tie-break
-    (see _documents_as_seeds)."""
+    (see _documents_as_seeds).
+
+    A FOURTH leg ('mirror_forget') value-checks TTL expiry end to end:
+    same mirror-tier state, then crawl.forget_urls expires every 14th
+    document's URL from BOTH seen representations before selection, so
+    exactly the even multiples of 7 become schedulable again. Its oracle
+    is the same closed form with exclusion doc_id % 7 = 0 AND
+    doc_id % 14 <> 0 — if any seen representation missed the delete, the
+    re-admitted rows (and the per-host budget ranks they shift) hash
+    differently."""
     out = None
     for tier in ("exact", "fused", "mirror"):
         leg = schedule_round_df(spark, sf_dir, tier=tier).drop("url_hash")
         leg = leg.withColumn("path", F.lit(tier))
         out = leg if out is None else out.unionByName(leg)
-    return out
+    forget = schedule_round_df(
+        spark, sf_dir, tier="mirror", forget_mod=14
+    ).drop("url_hash")
+    return out.unionByName(forget.withColumn("path", F.lit("mirror_forget")))
 
 
 _CRAWL_SCHEDULE_ORACLE = """
@@ -218,29 +257,48 @@ WITH seeds AS (
 ), dedup AS (
   -- within-batch dedup keeps the min-(priority, ..., url) row per canonical
   -- url; priorities tie between the two variants, so min(url) decides.
-  -- doc_id % 7 = 0 docs are in the PRE-SEEN set (both variants collapse to
-  -- the same canonical url, whose hash the seen table / sketch carries)
-  SELECT min(url) AS url, url_norm, host, min(priority) AS priority
-  FROM seeds WHERE doc_id % 7 <> 0 GROUP BY url_norm, host
-), topk AS (
-  -- politeness: default budget 8/host, no robots
-  SELECT * FROM dedup
+  -- doc_id is constant within a url_norm group, so the seen exclusions can
+  -- be applied AFTER grouping (per leg below)
+  SELECT min(url) AS url, url_norm, host, min(priority) AS priority,
+         min(doc_id) AS doc_id
+  FROM seeds GROUP BY url_norm, host
+), topk_a AS (
+  -- legs 1-3: doc_id % 7 = 0 docs are in the PRE-SEEN set (both variants
+  -- collapse to the same canonical url, whose hash the seen table /
+  -- sketch / mirror carries); politeness budget 8/host, no robots
+  SELECT * FROM dedup WHERE doc_id % 7 <> 0
   QUALIFY row_number() OVER (PARTITION BY host ORDER BY priority) <= 8
-), sched AS (
+), sched_a AS (
   SELECT CAST(1 AS BIGINT) AS batch_id,
          row_number() OVER (ORDER BY priority) AS rank,
          url, url_norm, host, priority,
          CAST(0 AS INTEGER) AS depth,
          CAST(0 AS INTEGER) AS attempt
-  FROM topk
+  FROM topk_a
+), topk_b AS (
+  -- leg 4 (mirror_forget): every 14th doc's URL was TTL-expired from the
+  -- seen state before selection, so only the ODD multiples of 7 remain
+  -- excluded; the re-admitted docs shift per-host budget ranks
+  SELECT * FROM dedup WHERE doc_id % 7 <> 0 OR doc_id % 14 = 0
+  QUALIFY row_number() OVER (PARTITION BY host ORDER BY priority) <= 8
+), sched_b AS (
+  SELECT CAST(1 AS BIGINT) AS batch_id,
+         row_number() OVER (ORDER BY priority) AS rank,
+         url, url_norm, host, priority,
+         CAST(0 AS INTEGER) AS depth,
+         CAST(0 AS INTEGER) AS attempt
+  FROM topk_b
 )
--- all three scheduler tiers (exact fallback, fused sketch pipeline, and
+-- the three scheduler tiers (exact fallback, fused sketch pipeline, and
 -- the scheduler-layout seen mirror — the production default) must emit
--- the identical schedule; the engine runs each and tags its rows
-SELECT sched.*, tiers.path
-FROM sched CROSS JOIN (
+-- the identical schedule; the engine runs each and tags its rows, plus
+-- the TTL-expiry leg with its own closed-form exclusion
+SELECT sched_a.*, tiers.path
+FROM sched_a CROSS JOIN (
   SELECT 'exact' AS path UNION ALL SELECT 'fused' UNION ALL SELECT 'mirror'
 ) tiers
+UNION ALL
+SELECT sched_b.*, 'mirror_forget' AS path FROM sched_b
 """
 
 
