@@ -1,20 +1,22 @@
-"""From-scratch baseline JPEG decoder (ITU-T T.81 / ISO 10918-1, public
-spec): marker parse → DQT/DHT/SOF0/SOS → huffman entropy decode (with byte
+"""From-scratch JPEG decoder (ITU-T T.81 / ISO 10918-1, public spec):
+marker parse → DQT/DHT/SOF/SOS → huffman entropy decode (with byte
 unstuffing and RSTn restart handling) → dequantize → de-zigzag → 8x8
 IDCT-II (precomputed orthonormal basis, pure numpy matmul) → level shift →
 chroma upsample (pixel replication) → YCbCr→RGB (BT.601 as specified in
 JFIF). No image library involved anywhere.
 
-Supported: baseline DCT (SOF0) and extended-sequential huffman (SOF1 —
-identical decode path at 8-bit precision), 1- or 3-component, arbitrary
-Hi/Vi sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0), single
-interleaved scan (Ns == Nf) or the single-component scan (Nf == 1),
-restart intervals, 8- and 16-bit DQT precision, multi-table DHT/DQT
-segments. Rejected as ValueError (callers map to valid=False, never a
-crash): progressive (SOF2) and every other SOF family, arithmetic coding,
-12-bit precision, malformed/truncated streams, and images past the shared
-256 MB decoded-pixel budget (multimodal._MAX_PIXEL_BYTES — dims are
-attacker-controlled at web scale; rejected BEFORE allocation).
+Supported: baseline DCT (SOF0), extended-sequential huffman (SOF1 —
+identical decode path at 8-bit precision), and PROGRESSIVE huffman (SOF2:
+spectral selection + successive approximation per T.81 Annex G — DC
+first/refinement scans, per-component AC band scans with EOB runs, and
+AC refinement with correction bits); 1- or 3-component, arbitrary Hi/Vi
+sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals,
+8- and 16-bit DQT precision, multi-table DHT/DQT segments, DHT/DQT/DRI
+between progressive scans. Rejected as ValueError (callers map to
+valid=False, never a crash): arithmetic coding, hierarchical/lossless SOF
+families, 12-bit precision, malformed/truncated streams, and images past
+the shared 256 MB decoded-pixel budget (multimodal._MAX_PIXEL_BYTES —
+dims are attacker-controlled at web scale; rejected BEFORE allocation).
 
 Correctness tier, not throughput tier (same stance as the PNG
 Average/Paeth filters): the entropy loop is per-coefficient Python with a
@@ -49,6 +51,7 @@ def _zigzag_order() -> np.ndarray:
 
 
 _ZIGZAG = _zigzag_order()
+_ZZ_LIST = [int(z) for z in _ZIGZAG]  # plain ints for the entropy loops
 
 # --- IDCT basis: A[u, x] = C(u)/2 * cos((2x+1) u pi / 16) ----------------
 # spatial = A.T @ F @ A  (orthonormal 2-D inverse DCT-II)
@@ -157,7 +160,8 @@ def _split_entropy(buf: bytes, start: int):
     """Entropy-coded bytes from ``start`` → (segments, end_pos).
 
     Removes 0xFF00 stuffing; splits on RST0-7 markers (segment boundaries
-    reset the DC predictors and byte-align); stops at any other marker."""
+    reset the DC predictors / EOB runs and byte-align); stops at any other
+    marker."""
     segments = []
     cur = bytearray()
     i = start
@@ -186,19 +190,281 @@ def _split_entropy(buf: bytes, start: int):
     return segments, i
 
 
+def _check_trailing(br: _BitReader) -> None:
+    # the reader buffers up to ~3 bytes ahead of consumed bits, so a
+    # correct stream can leave that much "unread"; anything more means
+    # the stream and our MCU accounting disagree
+    if len(br.data) - br.pos > 4:
+        raise ValueError("trailing entropy data in segment")
+
+
+# --- scan decoders -------------------------------------------------------
+
+
+def _decode_baseline_scan(segments, order, restart_interval, mcus_x, mcus_y):
+    """Sequential single scan (SOF0/SOF1): full 0..63 band, Al=0,
+    interleaved MCU walk (or the 1-component walk, where the caller has
+    normalized sampling to 1x1 so MCU == data unit)."""
+    total_mcus = mcus_x * mcus_y
+    mcu_per_seg = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    seg_idx = 0
+    while mcu < total_mcus:
+        if seg_idx >= len(segments):
+            raise ValueError("entropy data ended early")
+        br = _BitReader(segments[seg_idx])
+        seg_idx += 1
+        pred = {id(c): 0 for c, _d, _a in order}
+        for _ in range(min(mcu_per_seg, total_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c, dtab, atab in order:
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        row = my * c["v"] + v
+                        col = mx * c["h"] + h
+                        blk = c["coef"][row * c["bx"] + col]
+                        t = _decode_huff(br, dtab)
+                        if t > 15:
+                            raise ValueError("bad DC magnitude")
+                        diff = _extend(br.receive(t), t)
+                        pred[id(c)] += diff
+                        blk[0] = pred[id(c)]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, atab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[_ZZ_LIST[k]] = _extend(br.receive(s), s)
+                            k += 1
+            mcu += 1
+        _check_trailing(br)
+
+
+def _correction_bit(br, blk, z, p1, m1):
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3): a 1-bit appends the next magnitude bit. In-scan
+    coefficients are exact multiples of p1, so the two's-complement
+    `& p1` test reads the magnitude bit for either sign."""
+    if br.receive(1) and not (int(blk[z]) & p1):
+        blk[z] += p1 if blk[z] >= 0 else m1
+
+
+def _ac_first_block(br, atab, blk, ss, se, al, eobrun):
+    """One block of an AC first scan (Ah=0): band [Ss, Se] at point
+    transform Al, with EOBn run-length codes. Returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        blk[_ZZ_LIST[k]] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(br, atab, blk, ss, se, al, eobrun):
+    """One block of an AC refinement scan (Ah=Al+1): newly-significant
+    coefficients arrive with magnitude 1 at bit Al; every already-nonzero
+    coefficient crossed on the way contributes one correction bit; EOBn
+    covers whole blocks whose remaining history still takes correction
+    bits. Returns the new EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, atab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude must be 1")
+                val = p1 if br.receive(1) else m1
+            while k <= se:
+                z = _ZZ_LIST[k]
+                if blk[z] != 0:
+                    _correction_bit(br, blk, z, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement placement past band")
+                blk[_ZZ_LIST[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = _ZZ_LIST[k]
+            if blk[z] != 0:
+                _correction_bit(br, blk, z, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _walk_dc_interleaved(segments, order, restart_interval, mcus_x, mcus_y,
+                         ah, al):
+    """Progressive DC scan with Ns>1: interleaved MCU walk. First scans
+    (Ah=0) decode DC diffs at point transform Al; refinement scans read
+    one raw bit per data unit (two's-complement OR works because the
+    first scan applied an ARITHMETIC shift to the signed DC value)."""
+    total = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else total
+    mcu = 0
+    seg_idx = 0
+    while mcu < total:
+        if seg_idx >= len(segments):
+            raise ValueError("entropy data ended early")
+        br = _BitReader(segments[seg_idx])
+        seg_idx += 1
+        pred = {id(c): 0 for c, _d in order}
+        for _ in range(min(per_seg, total - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for c, dtab in order:
+                for v in range(c["v"]):
+                    for h in range(c["h"]):
+                        row = my * c["v"] + v
+                        col = mx * c["h"] + h
+                        blk = c["coef"][row * c["bx"] + col]
+                        if ah == 0:
+                            t = _decode_huff(br, dtab)
+                            if t > 15:
+                                raise ValueError("bad DC magnitude")
+                            pred[id(c)] += _extend(br.receive(t), t)
+                            blk[0] = pred[id(c)] << al
+                        elif br.receive(1):
+                            blk[0] |= 1 << al
+            mcu += 1
+        _check_trailing(br)
+
+
+def _walk_noninterleaved(segments, c, restart_interval, block_fn):
+    """Single-component scan walk (T.81 A.2.2): the block grid is the
+    component's EFFECTIVE dims (ceil(comp samples / 8), no MCU padding);
+    restart intervals count blocks. ``block_fn(br, blk, state)`` decodes
+    one data unit; state carries the DC predictor / EOB run, both reset
+    at restart boundaries."""
+    total = c["ex"] * c["ey"]
+    per_seg = restart_interval if restart_interval else total
+    b = 0
+    seg_idx = 0
+    while b < total:
+        if seg_idx >= len(segments):
+            raise ValueError("entropy data ended early")
+        br = _BitReader(segments[seg_idx])
+        seg_idx += 1
+        state = {"pred": 0, "eobrun": 0}
+        for _ in range(min(per_seg, total - b)):
+            ey, ex = divmod(b, c["ex"])
+            blk = c["coef"][ey * c["bx"] + ex]
+            block_fn(br, blk, state)
+            b += 1
+        _check_trailing(br)
+
+
+def _decode_progressive_scan(segments, scan, by_id, huff_dc, huff_ac,
+                             restart_interval, mcus_x, mcus_y,
+                             ss, se, ah, al):
+    """Dispatch one progressive scan (T.81 Annex G). DC scans (Ss=Se=0)
+    may interleave several components; AC scans are single-component by
+    spec. Successive approximation: Ah=0 is a first scan at precision Al;
+    otherwise Ah must equal Al+1 and the scan refines one bit."""
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+    comps = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError("SOS references unknown component")
+        comps.append((c, td, ta))
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        order = []
+        for c, td, _ta in comps:
+            dtab = huff_dc.get(td)
+            if ah == 0 and dtab is None:
+                raise ValueError("SOS references missing huffman table")
+            order.append((c, dtab))
+        if len(order) > 1:
+            _walk_dc_interleaved(
+                segments, order, restart_interval, mcus_x, mcus_y, ah, al
+            )
+        else:
+            c, dtab = order[0]
+
+            def dc_unit(br, blk, state):
+                if ah == 0:
+                    t = _decode_huff(br, dtab)
+                    if t > 15:
+                        raise ValueError("bad DC magnitude")
+                    state["pred"] += _extend(br.receive(t), t)
+                    blk[0] = state["pred"] << al
+                elif br.receive(1):
+                    blk[0] |= 1 << al
+
+            _walk_noninterleaved(segments, c, restart_interval, dc_unit)
+    else:
+        if len(comps) != 1:
+            raise ValueError("AC scan must be single-component")
+        if not (ss <= se <= 63):
+            raise ValueError("bad spectral band")
+        c, _td, ta = comps[0]
+        atab = huff_ac.get(ta)
+        if atab is None:
+            raise ValueError("SOS references missing huffman table")
+        fn = _ac_first_block if ah == 0 else _ac_refine_block
+
+        def ac_unit(br, blk, state):
+            state["eobrun"] = fn(br, atab, blk, ss, se, al, state["eobrun"])
+
+        _walk_noninterleaved(segments, c, restart_interval, ac_unit)
+
+
 def decode_jpeg(buf: bytes):
     """→ (width, height, channels, pixels (h, w, c) uint8). Raises
-    ValueError on anything outside the supported baseline subset."""
+    ValueError on anything outside the supported huffman-DCT subset
+    (baseline, extended-sequential, progressive)."""
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not JPEG")
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    geom = None  # (width, height, nf, hmax, vmax, mcus_x, mcus_y, by_id)
+    scans_done = 0
     i = 2
     n = len(buf)
-    scan = None
     while i + 4 <= n:
         if buf[i] != 0xFF:
             raise ValueError("marker expected")
@@ -246,12 +512,21 @@ def decode_jpeg(buf: bytes):
                 p += 17 + total
                 table = _HuffTable(counts, symbols)
                 (huff_dc if tc == 0 else huff_ac)[th] = table
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext-seq huffman
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 ext-seq huffman / SOF2 progressive
+            if sof is not None:
+                raise ValueError("multiple SOF segments")
+            progressive = marker == 0xC2
             prec, height, width, nf = struct.unpack_from(">BHHB", data, 0)
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             if nf not in (1, 3):
                 raise ValueError("only 1- or 3-component JPEG supported")
+            if width == 0 or height == 0:
+                raise ValueError("bad dimensions")
+            out_ch = 3 if nf == 3 else 1
+            if width * height * out_ch > MAX_PIXEL_BYTES:
+                raise ValueError("image exceeds decode pixel budget")
             comps = []
             for k in range(nf):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * k)
@@ -259,9 +534,27 @@ def decode_jpeg(buf: bytes):
                 if not (1 <= h_i <= 4 and 1 <= v_i <= 4):
                     raise ValueError("bad sampling factor")
                 comps.append({"id": cid, "h": h_i, "v": v_i, "tq": tq})
+            if nf == 1:
+                # single-component file: scans are non-interleaved, the
+                # MCU is one data unit and sampling factors play no role
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                # MCU-padded coefficient store; ex/ey are the EFFECTIVE
+                # block dims a non-interleaved scan covers (A.2.2)
+                c["bx"] = mcus_x * c["h"]
+                c["by"] = mcus_y * c["v"]
+                comp_w = -(-(width * c["h"]) // hmax)
+                comp_h = -(-(height * c["v"]) // vmax)
+                c["ex"] = -(-comp_w // 8)
+                c["ey"] = -(-comp_h // 8)
+                c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
             sof = (width, height, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG unsupported (baseline only)")
+            geom = (hmax, vmax, mcus_x, mcus_y,
+                    {c["id"]: c for c in comps})
         elif marker in (
             0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
@@ -269,105 +562,67 @@ def decode_jpeg(buf: bytes):
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", data, 0)
         elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF")
             ns = data[0]
-            scomps = []
+            if len(data) < 4 + 2 * ns:
+                raise ValueError("truncated SOS")
+            scan = []
             for k in range(ns):
                 cs, tdta = struct.unpack_from(">BB", data, 1 + 2 * k)
-                scomps.append((cs, tdta >> 4, tdta & 0x0F))
-            scan = scomps
+                scan.append((cs, tdta >> 4, tdta & 0x0F))
+            ss = data[1 + 2 * ns]
+            se = data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
             segments, i = _split_entropy(buf, i)
-            break  # single-scan subset: decode below
+            hmax, vmax, mcus_x, mcus_y, by_id = geom
+            width, height, comps = sof
+            if progressive:
+                _decode_progressive_scan(
+                    segments, scan, by_id, huff_dc, huff_ac,
+                    restart_interval, mcus_x, mcus_y, ss, se, ah, al,
+                )
+            else:
+                if scans_done:
+                    raise ValueError(
+                        "multi-scan sequential JPEG unsupported"
+                    )
+                if len(scan) != len(comps):
+                    raise ValueError(
+                        "sequential scan must cover all components"
+                    )
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("bad sequential scan header")
+                order = []
+                for cs, td, ta in scan:
+                    c = by_id.get(cs)
+                    if c is None:
+                        raise ValueError("SOS references unknown component")
+                    if td not in huff_dc or ta not in huff_ac:
+                        raise ValueError(
+                            "SOS references missing huffman table"
+                        )
+                    order.append((c, huff_dc[td], huff_ac[ta]))
+                _decode_baseline_scan(
+                    segments, order, restart_interval, mcus_x, mcus_y
+                )
+            scans_done += 1
         # APPn / COM / anything else with a length: skipped
-    if sof is None or scan is None:
+    if sof is None or scans_done == 0:
         raise ValueError("missing SOF/SOS")
     width, height, comps = sof
     nf = len(comps)
-    if len(scan) != nf:
-        raise ValueError("only single-scan (interleaved or 1-comp) supported")
-    if width == 0 or height == 0:
-        raise ValueError("bad dimensions")
+    hmax, vmax = geom[0], geom[1]
     out_ch = 3 if nf == 3 else 1
-    if width * height * out_ch > MAX_PIXEL_BYTES:
-        raise ValueError("image exceeds decode pixel budget")
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if nf == 1:
-        # non-interleaved single-component scan: MCU is one data unit and
-        # sampling factors play no role in the block grid
-        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        c = by_id.get(cs)
-        if c is None:
-            raise ValueError("SOS references unknown component")
-        if td not in huff_dc or ta not in huff_ac:
-            raise ValueError("SOS references missing huffman table")
-        if c["tq"] not in qt:
-            raise ValueError("component references missing quant table")
-        order.append((c, huff_dc[td], huff_ac[ta]))
-
-    # per component: coefficient store (blocks_y, blocks_x, 8, 8)
-    for c in comps:
-        c["bx"] = mcus_x * c["h"]
-        c["by"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.float64)
-
-    mcu_per_seg = (
-        restart_interval if restart_interval else mcus_x * mcus_y
-    )
-    total_mcus = mcus_x * mcus_y
-    mcu = 0
-    seg_idx = 0
-    while mcu < total_mcus:
-        if seg_idx >= len(segments):
-            raise ValueError("entropy data ended early")
-        br = _BitReader(segments[seg_idx])
-        seg_idx += 1
-        pred = {id(c): 0 for c, _d, _a in order}
-        for _ in range(min(mcu_per_seg, total_mcus - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for c, dtab, atab in order:
-                for v in range(c["v"]):
-                    for h in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.float64)
-                        t = _decode_huff(br, dtab)
-                        if t > 15:
-                            raise ValueError("bad DC magnitude")
-                        diff = _extend(br.receive(t), t)
-                        pred[id(c)] += diff
-                        blk[0] = pred[id(c)]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, atab)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            blk[_ZIGZAG[k]] = _extend(br.receive(s), s)
-                            k += 1
-                        row = my * c["v"] + v
-                        col = mx * c["h"] + h
-                        c["coef"][row * c["bx"] + col] = blk
-            mcu += 1
-        # the reader buffers up to ~3 bytes ahead of consumed bits, so a
-        # correct stream can leave that much "unread"; anything more means
-        # the stream and our MCU accounting disagree
-        if len(br.data) - br.pos > 4:
-            raise ValueError("trailing entropy data in segment")
 
     # vectorized tail: dequant + IDCT + assemble planes
     planes = []
     for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("component references missing quant table")
         q = qt[c["tq"]].reshape(64)
-        coef = (c["coef"] * q).reshape(-1, 8, 8)
+        coef = (c["coef"].astype(np.float64) * q).reshape(-1, 8, 8)
         spatial = _idct_blocks(coef) + 128.0
         blocks = spatial.reshape(c["by"], c["bx"], 8, 8)
         plane = blocks.transpose(0, 2, 1, 3).reshape(c["by"] * 8, c["bx"] * 8)
@@ -396,9 +651,10 @@ def decode_jpeg(buf: bytes):
 
 def jpeg_header_meta(buf: bytes):
     """Header-only (w, h, channels, valid) for the metadata path: walks
-    markers to SOF0/SOF1 without touching entropy data. Progressive and
-    other SOF families → valid=False (same subset the pixel decoder
-    accepts), mirroring image_header_meta's shallow-validity contract."""
+    markers to SOF0/SOF1/SOF2 without touching entropy data. Arithmetic /
+    hierarchical / lossless SOF families → valid=False (same subset the
+    pixel decoder accepts), mirroring image_header_meta's shallow-validity
+    contract."""
     if buf[:2] != b"\xff\xd8":
         return 0, 0, 0, False
     i = 2
@@ -416,7 +672,7 @@ def jpeg_header_meta(buf: bytes):
             (seglen,) = struct.unpack_from(">H", buf, i + 2)
             if seglen < 2 or i + 2 + seglen > n:
                 return 0, 0, 0, False
-            if marker in (0xC0, 0xC1):
+            if marker in (0xC0, 0xC1, 0xC2):
                 prec, height, width, nf = struct.unpack_from(
                     ">BHHB", buf, i + 4
                 )
@@ -430,10 +686,10 @@ def jpeg_header_meta(buf: bytes):
                 )
                 return (width, height, out_ch, True) if ok else (0, 0, 0, False)
             if marker in (
-                0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                 0xCE, 0xCF,
             ):
-                return 0, 0, 0, False  # progressive / unsupported family
+                return 0, 0, 0, False  # arithmetic / unsupported family
             i += 2 + seglen
     except struct.error:
         return 0, 0, 0, False

@@ -9,11 +9,12 @@ Decoders, by tier:
 - ``decoder="real"``: from-scratch stdlib+numpy decoders — PNG (8-bit
   depth, gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
   CRC-checked; zlib inflate via the stdlib), uncompressed 24-bit BMP
-  (BI_RGB, bottom-up or top-down, 4-byte row padding), and baseline JPEG
-  (see jpeg.py: SOF0/SOF1, huffman entropy decode, restart markers,
+  (BI_RGB, bottom-up or top-down, 4-byte row padding), and huffman-DCT
+  JPEG (see jpeg.py: baseline SOF0/SOF1 AND progressive SOF2 with
+  spectral selection + successive approximation, restart markers,
   arbitrary chroma subsampling, numpy IDCT, BT.601 color convert).
-  Progressive JPEG and compressed audio/video codecs remain documented
-  environmental seams (``valid=false`` rather than a crash).
+  Arithmetic-coded JPEG and compressed audio/video codecs remain
+  documented environmental seams (``valid=false`` rather than a crash).
   Correctness-first, not throughput-first: PNG filter types Sub/Up are
   lane-vectorized, Average/Paeth and the JPEG entropy loop pay Python
   loops — a production pipeline swaps in libjpeg-turbo/PIL behind the
@@ -198,7 +199,8 @@ def image_header_meta(blob) -> tuple:
 
     'valid' here means STRUCTURALLY valid: magic + header parse, the same
     supported-variant checks as the pixel decoders (8-bit non-interlaced
-    PNG color types 0/2/4/6; baseline-JPEG SOF0/SOF1 via jpeg_header_meta;
+    PNG color types 0/2/4/6; huffman-DCT JPEG SOF0/SOF1/SOF2 via
+    jpeg_header_meta;
     24-bit BI_RGB BMP with an in-bounds pixel array; complete IMG1
     payload), the 256 MB pixel budget, IHDR CRC, and IDAT presence for
     PNG. Deep validity (per-chunk CRCs, inflate-vs-IHDR consistency,
@@ -275,8 +277,9 @@ def image_header_meta(blob) -> tuple:
 
 def decode_image_real(blob) -> tuple:
     """One blob → (width, height, channels, pixels | None, valid). Format
-    sniffed by magic (PNG, baseline JPEG, BMP, IMG1); anything undecodable
-    (progressive JPEG, palette PNG, junk, None) comes back valid=False —
+    sniffed by magic (PNG, huffman-DCT JPEG, BMP, IMG1); anything
+    undecodable (arithmetic-coded JPEG, palette PNG, junk, None) comes
+    back valid=False —
     corrupt rows are data, not exceptions."""
     if blob is None:
         return 0, 0, 0, None, False
@@ -312,8 +315,9 @@ def decode_image_batch(blobs: pd.Series, decoder: str = "fake") -> pd.DataFrame:
     HEADER-ONLY parser (image_header_meta): metadata needs dims + a
     structural validity check, not an inflate+unfilter per image — the
     full pixel decode is reserved for the feature/resize paths (for JPEG
-    that means marker-walk to SOF0, never entropy decode). Progressive
-    JPEG → valid=False (baseline-only decoder, jpeg.py)."""
+    that means marker-walk to the SOF, never entropy decode).
+    Arithmetic-coded JPEG → valid=False (huffman-only decoder,
+    jpeg.py)."""
     if decoder == "real":
         n = len(blobs)
         width = np.zeros(n, dtype=np.int32)

@@ -342,17 +342,25 @@ def test_16bit_dqt_and_coarse_quant():
 # --- rejections (data, not crashes) ---------------------------------------
 
 
-def _sof2_progressive_blob() -> bytes:
-    sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-    return b"\xff\xd8" + sof2 + b"\xff\xd9"
+def _arithmetic_blob() -> bytes:
+    # SOF9: arithmetic-coded extended sequential — outside the huffman subset
+    sof9 = _seg(0xC9, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    return b"\xff\xd8" + sof9 + b"\xff\xd9"
 
 
-def test_progressive_rejected():
-    blob = _sof2_progressive_blob()
-    with pytest.raises(ValueError, match="progressive"):
+def test_arithmetic_rejected():
+    blob = _arithmetic_blob()
+    with pytest.raises(ValueError, match="SOF family"):
         decode_jpeg(blob)
     assert decode_image_real(blob)[4] is False
     assert jpeg_header_meta(blob)[3] is False
+    # SOF2 with no scan data is structurally header-valid but must fail
+    # the pixel path (missing SOS), not crash
+    sof2 = _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    no_scan = b"\xff\xd8" + sof2 + b"\xff\xd9"
+    with pytest.raises(ValueError, match="SOF/SOS"):
+        decode_jpeg(no_scan)
+    assert decode_image_real(no_scan)[4] is False
 
 
 def test_malformed_rejected():
@@ -391,7 +399,7 @@ def test_jpeg_through_spark_features(spark):
     blob = make_jpeg(px)
     decoded = decode_jpeg(blob)[3].astype(np.float64)
     df = spark.createDataFrame(
-        [(0, bytearray(blob)), (1, bytearray(_sof2_progressive_blob()))],
+        [(0, bytearray(blob)), (1, bytearray(_arithmetic_blob()))],
         "item_id long, img binary",
     )
     feats = {
@@ -403,4 +411,404 @@ def test_jpeg_through_spark_features(spark):
         [decoded.mean(), decoded.std(), decoded.min(), decoded.max()],
         rtol=1e-12,
     )
-    assert feats[1] == [0.0, 0.0, 0.0, 0.0]  # progressive → invalid → zeros
+    assert feats[1] == [0.0, 0.0, 0.0, 0.0]  # arithmetic → invalid → zeros
+
+
+# --- progressive (SOF2) — spec-forward encoder + equality tests -----------
+#
+# The progressive encoder below follows T.81 Annex G forward: spectral
+# selection splits the zigzag band across scans, successive approximation
+# splits each coefficient's bits (magnitude shift for AC, arithmetic shift
+# for DC), EOBn codes run-length-encode all-insignificant blocks, and
+# refinement scans interleave newly-significant coefficients with
+# correction bits for history. Baseline and progressive encodings share
+# ONE forward quantization (_quantized_zz), so the decoder must produce
+# BIT-IDENTICAL pixels from both — entropy coding is lossless.
+
+
+def _quantized_zz(px, subsampling="444", quant=1):
+    """Per-component quantized coefficients in ZIGZAG order
+    [(by*bx, 64) int64] + geometry. Same color transform, padding, FDCT
+    and rounding as make_jpeg."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qtab = np.full((8, 8), float(quant))
+    if gray:
+        planes = [px.astype(np.float64) - 128.0]
+        sampling = [(1, 1)]
+    else:
+        f = px.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        hf, vf = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsampling]
+        sampling = [(hf, vf), (1, 1), (1, 1)]
+
+        def sub(p):
+            if hf == 1 and vf == 1:
+                return p
+            hh = -(-h // vf) * vf
+            ww = -(-w // hf) * hf
+            pp = _pad_to(p, -(-hh // 8), -(-ww // 8))[:hh, :ww]
+            return pp.reshape(hh // vf, vf, ww // hf, hf).mean(axis=(1, 3))
+
+        planes = [y - 128.0, sub(cb) - 128.0, sub(cr) - 128.0]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zzs = []
+    for i, p in enumerate(planes):
+        hf, vf = sampling[i]
+        bx, by = mcus_x * hf, mcus_y * vf
+        padded = _pad_to(p, by, bx)
+        blocks = (
+            padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        # per-block _fdct, same call and float-accumulation order as
+        # make_jpeg's _encode_block — the two encoders must quantize
+        # BIT-identically for the equality tests to be meaningful
+        coef = np.stack(
+            [
+                np.round(_fdct(b) / qtab).astype(np.int64).reshape(64)
+                for b in blocks
+            ]
+        )
+        zzs.append(coef[:, _ZZ])
+    return zzs, sampling, mcus_x, mcus_y, qtab
+
+
+def _emit_eobrun(bw, st):
+    """Flush a pending EOB run + the correction bits deferred behind it."""
+    run = st["run"]
+    if run:
+        n = run.bit_length() - 1
+        c, ln = _AC_CODES[n << 4]
+        bw.put(c, ln)
+        if n:
+            bw.put(run - (1 << n), n)
+        st["run"] = 0
+    for b in st["pending"]:
+        bw.put(b, 1)
+    st["pending"] = []
+
+
+def _enc_dc_unit(bw, dc, pred, ah, al):
+    """One data unit of a DC scan. First scans (Ah=0) huffman-code the
+    diff of the ARITHMETICALLY shifted DC; refinement sends one raw bit."""
+    if ah == 0:
+        v = int(dc) >> al  # arithmetic shift per G.1.2.1
+        diff = v - pred[0]
+        pred[0] = v
+        t = int(abs(diff)).bit_length()
+        code, length = _DC_CODES[t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    else:
+        bw.put((int(dc) >> al) & 1, 1)
+
+
+def _enc_ac_first_block(bw, zz, ss, se, al, st):
+    """AC first scan (Ah=0): magnitude-shift point transform, EOBn runs."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        a = abs(v) >> al
+        if a == 0:
+            r += 1
+            continue
+        _emit_eobrun(bw, st)
+        while r > 15:
+            c, ln = _AC_CODES[0xF0]
+            bw.put(c, ln)
+            r -= 16
+        s = a.bit_length()
+        t = a if v >= 0 else -a
+        c, ln = _AC_CODES[(r << 4) | s]
+        bw.put(c, ln)
+        bw.put(t if t >= 0 else t + (1 << s) - 1, s)
+        r = 0
+    if r:
+        st["run"] += 1
+        if st["run"] == 0x7FFF:
+            _emit_eobrun(bw, st)
+
+
+def _enc_ac_refine_block(bw, zz, ss, se, al, st):
+    """AC refinement scan (Ah=Al+1): newly-significant coefficients carry
+    sign bits; already-nonzero history contributes deferred correction
+    bits; EOBn covers the all-insignificant tail."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for idx, a in enumerate(absv):
+        if a == 1:
+            eob = ss + idx
+    r = 0
+    cur = []  # this block's correction bits, not yet attached to a run
+    for k in range(ss, se + 1):
+        a = absv[k - ss]
+        if a == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _emit_eobrun(bw, st)
+            c, ln = _AC_CODES[0xF0]
+            bw.put(c, ln)
+            r -= 16
+            for b in cur:
+                bw.put(b, 1)
+            cur = []
+        if a > 1:
+            cur.append(a & 1)
+            continue
+        _emit_eobrun(bw, st)
+        c, ln = _AC_CODES[(r << 4) | 1]
+        bw.put(c, ln)
+        bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in cur:
+            bw.put(b, 1)
+        cur = []
+        r = 0
+    if r > 0 or cur:
+        st["run"] += 1
+        st["pending"].extend(cur)
+        if st["run"] == 0x7FFF:
+            _emit_eobrun(bw, st)
+
+
+def make_progressive_jpeg(
+    px,
+    subsampling="444",
+    quant=1,
+    restart_interval=0,
+    scans=None,
+):
+    """px → progressive JFIF bytes, quantization identical to make_jpeg.
+
+    ``scans``: list of ("dc", [comp...], ah, al) and
+    ("ac", comp, ss, se, ah, al) entries; the default script exercises
+    interleaved DC first+refine, split spectral bands, Al>0 first scans
+    and two successive AC refinement passes."""
+    zzs, sampling, mcus_x, mcus_y, qtab = _quantized_zz(px, subsampling, quant)
+    h, w = px.shape[:2]
+    nf = len(zzs)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if scans is None:
+        if nf == 1:
+            scans = [
+                ("dc", [0], 0, 1),
+                ("ac", 0, 1, 5, 0, 2),
+                ("ac", 0, 6, 63, 0, 2),
+                ("dc", [0], 1, 0),
+                ("ac", 0, 1, 63, 2, 1),
+                ("ac", 0, 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                ("dc", [0, 1, 2], 0, 1),
+                ("ac", 0, 1, 5, 0, 2),
+                ("ac", 0, 6, 63, 0, 2),
+                ("ac", 1, 1, 63, 0, 1),
+                ("ac", 2, 1, 63, 0, 1),
+                ("dc", [0, 1, 2], 1, 0),
+                ("ac", 0, 1, 5, 2, 1),
+                ("ac", 0, 6, 63, 2, 1),
+                ("ac", 0, 1, 63, 1, 0),
+                ("ac", 1, 1, 63, 1, 0),
+                ("ac", 2, 1, 63, 1, 0),
+            ]
+
+    zz_q = np.round(qtab.reshape(64)[_ZZ]).astype(int)
+    dqt = _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    sof_comps = b"".join(
+        bytes([i + 1, (sampling[i][0] << 4) | sampling[i][1], 0])
+        for i in range(nf)
+    )
+    sof = _seg(0xC2, struct.pack(">BHHB", 8, h, w, nf) + sof_comps)
+    dht = _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+        + bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS,
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+
+    def eff_dims(ci):
+        hf, vf = sampling[ci]
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    out = bytearray(
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + dqt + sof + dht + dri
+    )
+    for entry in scans:
+        bw = _BitWriter()
+        entropy = bytearray()
+        rst = 0
+
+        def _restart():
+            nonlocal bw, rst
+            bw.align()
+            entropy.extend(bw.out)
+            entropy.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            bw = _BitWriter()
+
+        if entry[0] == "dc":
+            _tag, comp_ids, ah, al = entry
+            sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in comp_ids)
+            sos = _seg(
+                0xDA,
+                bytes([len(comp_ids)]) + sos_comps
+                + bytes([0, 0, (ah << 4) | al]),
+            )
+            if len(comp_ids) > 1:
+                total = mcus_x * mcus_y
+                preds = {ci: [0] for ci in comp_ids}
+                for m in range(total):
+                    if restart_interval and m and m % restart_interval == 0:
+                        _restart()
+                        preds = {ci: [0] for ci in comp_ids}
+                    my, mx = divmod(m, mcus_x)
+                    for ci in comp_ids:
+                        hf, vf = sampling[ci]
+                        bx = mcus_x * hf
+                        for v in range(vf):
+                            for hh in range(hf):
+                                blk = zzs[ci][(my * vf + v) * bx + mx * hf + hh]
+                                _enc_dc_unit(bw, blk[0], preds[ci], ah, al)
+            else:
+                ci = comp_ids[0]
+                ex, ey = eff_dims(ci)
+                bx = mcus_x * sampling[ci][0]
+                pred = [0]
+                for b in range(ex * ey):
+                    if restart_interval and b and b % restart_interval == 0:
+                        _restart()
+                        pred = [0]
+                    r_, c_ = divmod(b, ex)
+                    _enc_dc_unit(bw, zzs[ci][r_ * bx + c_][0], pred, ah, al)
+        else:
+            _tag, ci, ss, se, ah, al = entry
+            sos = _seg(
+                0xDA,
+                bytes([1, ci + 1, 0x00])
+                + bytes([ss, se, (ah << 4) | al]),
+            )
+            ex, ey = eff_dims(ci)
+            bx = mcus_x * sampling[ci][0]
+            st = {"run": 0, "pending": []}
+            fn = _enc_ac_first_block if ah == 0 else _enc_ac_refine_block
+            for b in range(ex * ey):
+                if restart_interval and b and b % restart_interval == 0:
+                    _emit_eobrun(bw, st)
+                    _restart()
+                    st = {"run": 0, "pending": []}
+                r_, c_ = divmod(b, ex)
+                fn(bw, zzs[ci][r_ * bx + c_], ss, se, al, st)
+            _emit_eobrun(bw, st)
+        bw.align()
+        entropy.extend(bw.out)
+        out += sos + bytes(entropy)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
+def test_progressive_equals_baseline_rgb(subsampling):
+    """Identical quantized coefficients → progressive and baseline decode
+    to BIT-IDENTICAL pixels (entropy coding is lossless)."""
+    px = _gradient(24, 32, 3) if subsampling == "444" else _smooth(24, 32, 3)
+    base = decode_jpeg(make_jpeg(px, subsampling=subsampling))
+    prog = decode_jpeg(make_progressive_jpeg(px, subsampling=subsampling))
+    assert base[:3] == prog[:3]
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_equals_baseline_gray_odd_dims():
+    """19x13 grayscale: effective block grid == MCU grid for 1-component,
+    crop path shared with baseline."""
+    px = _gradient(19, 13)
+    base = decode_jpeg(make_jpeg(px))
+    prog = decode_jpeg(make_progressive_jpeg(px))
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_420_odd_dims_effective_grid():
+    """23x21 at 4:2:0: luma effective grid (3x3) is SMALLER than the
+    MCU-padded grid (4x4, mcus 2x2 of 2x2 blocks) — non-interleaved AC
+    scans must walk only effective blocks while the interleaved DC scan
+    covers the padded grid."""
+    px = _smooth(21, 23, 3)
+    base = decode_jpeg(make_jpeg(px, subsampling="420"))
+    prog = decode_jpeg(make_progressive_jpeg(px, subsampling="420"))
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_spectral_only_no_sa():
+    """Spectral selection without successive approximation (Al=0
+    everywhere): exercises EOBn runs + band splits in isolation."""
+    px = _gradient(24, 32, 3)
+    scans = [
+        ("dc", [0, 1, 2], 0, 0),
+        ("ac", 0, 1, 2, 0, 0),
+        ("ac", 0, 3, 63, 0, 0),
+        ("ac", 1, 1, 63, 0, 0),
+        ("ac", 2, 1, 63, 0, 0),
+    ]
+    base = decode_jpeg(make_jpeg(px))
+    prog = decode_jpeg(make_progressive_jpeg(px, scans=scans))
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_eobrun_heavy():
+    """Mostly-flat image with one spike: nearly every block's AC band is
+    insignificant, so the scan is dominated by multi-block EOBn runs
+    (r > 0 with extra bits)."""
+    px = np.full((48, 48), 120, dtype=np.uint8)
+    px[20, 30] = 200
+    base = decode_jpeg(make_jpeg(px))
+    prog = decode_jpeg(make_progressive_jpeg(px))
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_restart_markers():
+    """RSTn inside progressive scans: DC predictors and EOB runs reset at
+    segment boundaries in every scan kind (DC first/refine, AC
+    first/refine)."""
+    px = _gradient(32, 48)
+    plain = decode_jpeg(make_progressive_jpeg(px))[3]
+    restarted = decode_jpeg(make_progressive_jpeg(px, restart_interval=2))[3]
+    np.testing.assert_array_equal(plain, restarted)
+
+
+def test_progressive_coarse_quant_roundtrip():
+    """Coarse quant shrinks magnitudes to the 1-2 bit regime where the
+    refinement scans carry most of the value — the equality still must be
+    exact."""
+    px = _gradient(16, 24)
+    base = decode_jpeg(make_jpeg(px, quant=8))
+    prog = decode_jpeg(make_progressive_jpeg(px, quant=8))
+    np.testing.assert_array_equal(base[3], prog[3])
+
+
+def test_progressive_header_and_seam():
+    """SOF2 is now a first-class citizen of the metadata + pixel paths."""
+    px = _smooth(24, 32, 3)
+    blob = make_progressive_jpeg(px, subsampling="420")
+    assert jpeg_header_meta(blob) == (32, 24, 3, True)
+    assert image_header_meta(blob) == (32, 24, 3, True)
+    w, h, c, pixels, valid = decode_image_real(blob)
+    assert (w, h, c, valid) == (32, 24, 3, True)
+    # truncated progressive → data, not a crash
+    assert decode_image_real(blob[: len(blob) * 2 // 3])[4] is False
