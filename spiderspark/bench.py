@@ -414,6 +414,20 @@ def main(argv=None):
     return result
 
 
+def _steal_ticks() -> int | None:
+    """Aggregate CPU steal ticks from /proc/stat (virtualized guests: time
+    the HOST ran someone else while our vCPUs were runnable). The sandbox
+    shares its physical host with invisible co-tenants — guest load can be
+    0.0 while 20%+ of cycles are stolen mid-run, so every benchmark arm
+    records its steal delta to separate engine scaling from host theft."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) if len(parts) > 8 else None
+    except (OSError, ValueError):  # pragma: no cover - non-Linux
+        return None
+
+
 def _subprocess_rate(cores: int, frontier: int, crawl: bool = False) -> dict:
     """Fresh process at ``cores`` parallelism, CPU-PINNED to exactly that
     many physical CPUs (taskset). Without pinning, local[8] on a 32-CPU box
@@ -426,9 +440,16 @@ def _subprocess_rate(cores: int, frontier: int, crawl: bool = False) -> dict:
     cmd += ["--crawl"] if crawl else ["--headline-only"]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    s0, t0 = _steal_ticks(), time.time()
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3600)
+    s1, t1 = _steal_ticks(), time.time()
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    if s0 is not None and s1 is not None:
+        ncpu = os.cpu_count() or 32
+        # fraction of the BOX's cycles stolen by the host over this arm
+        res["steal_frac"] = round((s1 - s0) / ((t1 - t0) * 100.0 * ncpu), 4)
+    return res
 
 
 def run_scaling(args):
@@ -481,6 +502,8 @@ def run_scaling(args):
         "rate_hi": r_hi["value"],
         "all_rates_lo": [r["value"] for r in runs_lo],
         "all_rates_hi": [r["value"] for r in runs_hi],
+        "steal_frac_lo": [r.get("steal_frac") for r in runs_lo],
+        "steal_frac_hi": [r.get("steal_frac") for r in runs_hi],
         "n_frontier": n,
         "schedule_parallelism_invariant": invariant,
     }
