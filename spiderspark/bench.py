@@ -532,6 +532,9 @@ the same scheduling+dedup job, same deterministic input
 | {res['cores_hi']} | {r_hi['value']:,} | {r_hi['headline_wall_sec']} | {r_hi['detail'].get('canon_dedup_s', '-')} | {r_hi['detail'].get('schedule_s', '-')} | {r_hi['detail'].get('sketch_delta_s', '-')} |
 
 **Scaling efficiency ({res['cores_lo']} → {res['cores_hi']} cores, 4×): {res['value']}** (criterion ≥ 0.8).
+Host steal fraction during the arms (co-tenant theft, /proc/stat):
+lo {res.get('steal_frac_lo')}, hi {res.get('steal_frac_hi')} — read the
+ratio next to these; a stolen arm is the host's number, not the engine's.
 
 Parallelism-invariance: the two runs produced **{"identical" if res.get('schedule_parallelism_invariant') else "DIFFERENT"}**
 schedules (same (rank → url_hash) digest) — the crawl-ordering invariant
