@@ -8,7 +8,8 @@ Decoders, by tier:
   full decode→extract pipeline has a closed-form SQL oracle.
 - ``decoder="real"``: from-scratch stdlib+numpy decoders — PNG (8-bit
   depth, gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
-  CRC-checked; zlib inflate via the stdlib), uncompressed 24-bit BMP
+  non-interlaced AND Adam7-interlaced, CRC-checked; zlib inflate via the
+  stdlib), uncompressed 24-bit BMP
   (BI_RGB, bottom-up or top-down, 4-byte row padding), and huffman-DCT
   JPEG (see jpeg.py: baseline SOF0/SOF1 AND progressive SOF2 with
   spectral selection + successive approximation, restart markers,
@@ -117,10 +118,33 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid (W3C PNG §8.2): (x0, y0, dx, dy) per pass. A pass is
+# empty (contributes NO scanlines, not even filter bytes) when the image
+# has no pixel at or past its origin.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_dims(width: int, height: int):
+    """Per-pass (x0, y0, dx, dy, pw, ph) with empty passes dropped."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def _decode_png(buf: bytes):
     """→ (width, height, channels, pixels (h, w, c) uint8). Raises on any
     malformation (caller maps that to valid=False). 8-bit depth, color
-    types 0/2/4/6, non-interlaced, CRC-verified, multi-IDAT."""
+    types 0/2/4/6, non-interlaced OR Adam7-interlaced (each pass is an
+    independently filtered sub-image, unfiltered with the same five-filter
+    inverse then scattered to out[y0::dy, x0::dx]), CRC-verified,
+    multi-IDAT."""
     if buf[:8] != _PNG_MAGIC:
         raise ValueError("not PNG")
     pos, ihdr, idat = 8, None, []
@@ -143,7 +167,7 @@ def _decode_png(buf: bytes):
     if ihdr is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     width, height, depth, ctype_i, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG variant")
     if ctype_i not in _PNG_CHANNELS or not width or not height:
         raise ValueError("unsupported color type")
@@ -155,13 +179,28 @@ def _decode_png(buf: bytes):
     # decompression bomb into a multi-GB allocation inside an executor.
     # decompressobj(max_length) stops at the budget; any trailing
     # compressed input or a short stream is a malformation, not a crash.
-    expected = height * (width * ch + 1)
+    # (Adam7's total is the same pixels + one filter byte per sub-row,
+    # still IHDR-derived and checked exactly.)
+    passes = _adam7_dims(width, height) if interlace else None
+    if passes is None:
+        expected = height * (width * ch + 1)
+    else:
+        expected = sum(ph * (pw * ch + 1) for _, _, _, _, pw, ph in passes)
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected)
     if d.unconsumed_tail or len(raw) != expected:
         raise ValueError("IDAT stream does not match IHDR dimensions")
-    px = _png_unfilter(raw, height, width * ch, ch)
-    return width, height, ch, px.reshape(height, width, ch)
+    if passes is None:
+        px = _png_unfilter(raw, height, width * ch, ch)
+        return width, height, ch, px.reshape(height, width, ch)
+    out = np.zeros((height, width, ch), dtype=np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        size = ph * (pw * ch + 1)
+        sub = _png_unfilter(raw[off : off + size], ph, pw * ch, ch)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        off += size
+    return width, height, ch, out
 
 
 def _decode_bmp(buf: bytes):
@@ -198,9 +237,9 @@ def image_header_meta(blob) -> tuple:
     should not pay a full pixel decode per image just to report dims.
 
     'valid' here means STRUCTURALLY valid: magic + header parse, the same
-    supported-variant checks as the pixel decoders (8-bit non-interlaced
-    PNG color types 0/2/4/6; huffman-DCT JPEG SOF0/SOF1/SOF2 via
-    jpeg_header_meta;
+    supported-variant checks as the pixel decoders (8-bit PNG color
+    types 0/2/4/6, non-interlaced or Adam7; huffman-DCT JPEG
+    SOF0/SOF1/SOF2 via jpeg_header_meta;
     24-bit BI_RGB BMP with an in-bounds pixel array; complete IMG1
     payload), the 256 MB pixel budget, IHDR CRC, and IDAT presence for
     PNG. Deep validity (per-chunk CRCs, inflate-vs-IHDR consistency,
@@ -223,7 +262,7 @@ def image_header_meta(blob) -> tuple:
             width, height, depth, ctype_i, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", b[16:29])
             )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG variant")
             if ctype_i not in _PNG_CHANNELS or not width or not height:
                 raise ValueError("unsupported color type")

@@ -442,13 +442,20 @@ def test_header_meta_structural_rejections():
     # truncated BMP pixel array
     bmp = bytearray(make_bmp(_gradient(5, 3, 3)))
     assert not image_header_meta(bytes(bmp[:-8]))[3]
-    # interlaced PNG (unsupported variant)
+    # Adam7-interlaced PNG is now a supported variant — header-valid
     inter = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
     blob = (
         b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", inter)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 8)) + _chunk(b"IEND", b"")
     )
-    assert not image_header_meta(blob)[3]
+    assert image_header_meta(blob) == (4, 4, 3, True)
+    # interlace method 2 does not exist → unsupported variant
+    bad_inter = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 2)
+    blob2 = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", bad_inter)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8)) + _chunk(b"IEND", b"")
+    )
+    assert not image_header_meta(blob2)[3]
 
 
 def test_header_meta_is_shallow_by_contract():
@@ -484,3 +491,125 @@ def test_sample_frames_validates_every_n(spark):
     df = spark.createDataFrame([(0, bytearray(b""))], "item_id long, video binary")
     with pytest.raises(ValueError, match="every_n"):
         sample_frames(df, every_n=0)
+
+
+# --- Adam7 interlacing (W3C PNG §8.2) -------------------------------------
+#
+# The forward pass below is an independent transcription of the spec's
+# pass grid: split the image into the 7 sub-images, filter each pass's
+# scanlines independently (prev resets to zero at each pass boundary),
+# concatenate, deflate. Equality with the straight decode of the same
+# pixels validates the decoder's pass walk + scatter as the spec inverse.
+
+_ADAM7_FWD = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def make_png_adam7(px: np.ndarray, filters=None) -> bytes:
+    """Adam7-interlaced PNG encoder: ``filters`` gives one filter type per
+    PASS (default all 0), exercising the per-pass unfilter reset."""
+    h, w, c = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    filters = filters or [0] * 7
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_FWD):
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue  # empty pass: no scanlines, not even filter bytes
+        prev = bytes(pw * c)
+        for y in range(ph):
+            line = sub[y].reshape(-1).tobytes()
+            raw.append(filters[pi])
+            raw += _filter_line(filters[pi], line, prev, c)
+            prev = line
+    z = zlib.compress(bytes(raw))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", z)
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _ramp(h, w, c):
+    return (
+        (np.arange(h)[:, None, None] * 7
+         + np.arange(w)[None, :, None] * 3
+         + np.arange(c) * 29) % 256
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_adam7_equals_straight_decode(c):
+    px = _ramp(21, 19, c)  # odd dims: ragged pass widths/heights
+    straight = decode_image_real(make_png(px))
+    inter = decode_image_real(make_png_adam7(px))
+    assert straight[4] and inter[4]
+    assert inter[:3] == (19, 21, c)
+    np.testing.assert_array_equal(straight[3], inter[3])
+
+
+def test_adam7_all_filter_types_per_pass():
+    """Each pass filtered with a different type: the unfilter state (prev
+    row) must reset at every pass boundary or Up/Paeth bleed across."""
+    px = _ramp(24, 24, 3)
+    inter = decode_image_real(make_png_adam7(px, filters=[0, 1, 2, 3, 4, 2, 1]))
+    assert inter[4]
+    np.testing.assert_array_equal(inter[3], px)
+
+
+@pytest.mark.parametrize("dims", [(1, 1), (2, 2), (3, 3), (5, 5), (8, 1), (1, 8), (4, 12)])
+def test_adam7_tiny_images_empty_passes(dims):
+    """Images smaller than the 8x8 pass grid: several passes are EMPTY
+    (contribute zero scanlines). The expected-inflate-size accounting and
+    the scatter must both honor that."""
+    h, w = dims
+    px = _ramp(h, w, 3)
+    inter = decode_image_real(make_png_adam7(px))
+    assert inter[:3] == (w, h, 3) and inter[4]
+    np.testing.assert_array_equal(inter[3], px)
+
+
+def test_adam7_wrong_length_rejected():
+    """An interlaced stream whose inflate matches the NON-interlaced size
+    (missing the extra per-sub-row filter bytes) is a malformation."""
+    px = _ramp(16, 16, 3)
+    good = make_png(px)  # non-interlaced sizing
+    # flip the IHDR interlace byte to 1 and fix the CRC
+    ihdr = struct.pack(">IIBBBBB", 16, 16, 8, 2, 0, 0, 1)
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr) + good[8 + 25 :]
+    )
+    assert decode_image_real(bad)[4] is False
+
+
+def test_adam7_header_meta_valid():
+    from spiderspark.multimodal import image_header_meta
+
+    px = _ramp(10, 14, 3)
+    assert image_header_meta(make_png_adam7(px)) == (14, 10, 3, True)
+
+
+# --- property: random pixels/dims/filters, Adam7 == straight --------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    c=st.sampled_from([1, 2, 3, 4]),
+    filters=st.lists(st.integers(0, 4), min_size=7, max_size=7),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_adam7_property_random(h, w, c, filters, seed):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    inter = decode_image_real(make_png_adam7(px, filters=filters))
+    assert inter[:3] == (w, h, c) and inter[4]
+    np.testing.assert_array_equal(inter[3], px)

@@ -812,3 +812,37 @@ def test_progressive_header_and_seam():
     assert (w, h, c, valid) == (32, 24, 3, True)
     # truncated progressive → data, not a crash
     assert decode_image_real(blob[: len(blob) * 2 // 3])[4] is False
+
+
+# --- property: random images/quant/subsampling, progressive == baseline ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    gray=st.booleans(),
+    quant=st.sampled_from([1, 2, 4, 8]),
+    subsampling=st.sampled_from(["444", "422", "420"]),
+    restart=st.sampled_from([0, 0, 2, 5]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_progressive_property_random(h, w, gray, quant, subsampling, restart, seed):
+    rng = np.random.default_rng(seed)
+    if gray:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        subsampling = "444"
+    else:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(
+        make_jpeg(px, subsampling=subsampling, quant=quant,
+                  restart_interval=restart)
+    )
+    prog = decode_jpeg(
+        make_progressive_jpeg(px, subsampling=subsampling, quant=quant,
+                              restart_interval=restart)
+    )
+    assert base[:3] == prog[:3]
+    np.testing.assert_array_equal(base[3], prog[3])
