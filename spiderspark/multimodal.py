@@ -7,9 +7,10 @@ Decoders, by tier:
   the tiny pinned header format the synthetic generator emits, so the
   full decode→extract pipeline has a closed-form SQL oracle.
 - ``decoder="real"``: from-scratch stdlib+numpy decoders — PNG (8-bit
-  depth, gray/gray+alpha/RGB/RGBA, all five scanline filters, multi-IDAT,
-  non-interlaced AND Adam7-interlaced, CRC-checked; zlib inflate via the
-  stdlib), uncompressed 24-bit BMP
+  depth; gray/gray+alpha/RGB/RGBA AND indexed-color with PLTE + optional
+  tRNS alpha; all five scanline filters, multi-IDAT, non-interlaced AND
+  Adam7-interlaced, CRC-checked; zlib inflate via the stdlib),
+  uncompressed 24-bit BMP
   (BI_RGB, bottom-up or top-down, 4-byte row padding), and huffman-DCT
   JPEG (see jpeg.py: baseline SOF0/SOF1 AND progressive SOF2 with
   spectral selection + successive approximation, restart markers,
@@ -62,7 +63,8 @@ def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
 # --- real decoders (PNG spec: RFC 2083 / W3C PNG; BMP: BITMAPINFOHEADER) ---
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
-# color type → samples per pixel (8-bit depth only; palette/16-bit rejected)
+# color type → samples per pixel (8-bit depth only; 16-bit rejected).
+# Indexed-color (type 3) is handled separately: 1 index/pixel + PLTE.
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 # per-image decoded-size budget (256 MB): dims are attacker-controlled at
 # web scale; anything larger is rejected as invalid, never allocated.
@@ -141,13 +143,14 @@ def _adam7_dims(width: int, height: int):
 def _decode_png(buf: bytes):
     """→ (width, height, channels, pixels (h, w, c) uint8). Raises on any
     malformation (caller maps that to valid=False). 8-bit depth, color
-    types 0/2/4/6, non-interlaced OR Adam7-interlaced (each pass is an
+    types 0/2/3/4/6 (3 = indexed: PLTE triples, optional tRNS alpha),
+    non-interlaced OR Adam7-interlaced (each pass is an
     independently filtered sub-image, unfiltered with the same five-filter
     inverse then scattered to out[y0::dy, x0::dx]), CRC-verified,
     multi-IDAT."""
     if buf[:8] != _PNG_MAGIC:
         raise ValueError("not PNG")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(buf):
         (clen,) = struct.unpack_from(">I", buf, pos)
         ctype = buf[pos + 4 : pos + 8]
@@ -159,6 +162,10 @@ def _decode_png(buf: bytes):
             raise ValueError("CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -169,9 +176,21 @@ def _decode_png(buf: bytes):
     width, height, depth, ctype_i, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError("unsupported PNG variant")
-    if ctype_i not in _PNG_CHANNELS or not width or not height:
+    if not width or not height:
         raise ValueError("unsupported color type")
-    ch = _PNG_CHANNELS[ctype_i]
+    if ctype_i == 3:
+        # indexed-color: stream carries 1 palette index per pixel; PLTE
+        # holds RGB triples, tRNS (optional) per-entry alpha → RGBA out
+        if plte is None or not len(plte) or len(plte) % 3 or len(plte) > 768:
+            raise ValueError("bad or missing PLTE")
+        n_pal = len(plte) // 3
+        if trns is not None and len(trns) > n_pal:
+            raise ValueError("tRNS longer than palette")
+        spp, ch = 1, (4 if trns is not None else 3)
+    elif ctype_i in _PNG_CHANNELS:
+        spp = ch = _PNG_CHANNELS[ctype_i]
+    else:
+        raise ValueError("unsupported color type")
     if width * height * ch > _MAX_PIXEL_BYTES:
         raise ValueError("image exceeds decode pixel budget")
     # bound the inflate by the IHDR-derived exact size: web-scale inputs
@@ -183,24 +202,36 @@ def _decode_png(buf: bytes):
     # still IHDR-derived and checked exactly.)
     passes = _adam7_dims(width, height) if interlace else None
     if passes is None:
-        expected = height * (width * ch + 1)
+        expected = height * (width * spp + 1)
     else:
-        expected = sum(ph * (pw * ch + 1) for _, _, _, _, pw, ph in passes)
+        expected = sum(ph * (pw * spp + 1) for _, _, _, _, pw, ph in passes)
     d = zlib.decompressobj()
     raw = d.decompress(b"".join(idat), expected)
     if d.unconsumed_tail or len(raw) != expected:
         raise ValueError("IDAT stream does not match IHDR dimensions")
     if passes is None:
-        px = _png_unfilter(raw, height, width * ch, ch)
-        return width, height, ch, px.reshape(height, width, ch)
-    out = np.zeros((height, width, ch), dtype=np.uint8)
-    off = 0
-    for x0, y0, dx, dy, pw, ph in passes:
-        size = ph * (pw * ch + 1)
-        sub = _png_unfilter(raw[off : off + size], ph, pw * ch, ch)
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-        off += size
-    return width, height, ch, out
+        samples = _png_unfilter(raw, height, width * spp, spp).reshape(
+            height, width, spp
+        )
+    else:
+        samples = np.zeros((height, width, spp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            size = ph * (pw * spp + 1)
+            sub = _png_unfilter(raw[off : off + size], ph, pw * spp, spp)
+            samples[y0::dy, x0::dx] = sub.reshape(ph, pw, spp)
+            off += size
+    if ctype_i != 3:
+        return width, height, ch, samples
+    idx = samples[:, :, 0]
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max()) >= lut.shape[0]:
+        raise ValueError("palette index out of range")
+    if trns is not None:
+        alpha = np.full(lut.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        lut = np.concatenate([lut, alpha[:, None]], axis=1)
+    return width, height, ch, lut[idx]
 
 
 def _decode_bmp(buf: bytes):
@@ -238,7 +269,8 @@ def image_header_meta(blob) -> tuple:
 
     'valid' here means STRUCTURALLY valid: magic + header parse, the same
     supported-variant checks as the pixel decoders (8-bit PNG color
-    types 0/2/4/6, non-interlaced or Adam7; huffman-DCT JPEG
+    types 0/2/3/4/6 incl. indexed with PLTE/tRNS, non-interlaced or
+    Adam7; huffman-DCT JPEG
     SOF0/SOF1/SOF2 via jpeg_header_meta;
     24-bit BI_RGB BMP with an in-bounds pixel array; complete IMG1
     payload), the 256 MB pixel budget, IHDR CRC, and IDAT presence for
@@ -264,12 +296,11 @@ def image_header_meta(blob) -> tuple:
             )
             if depth != 8 or comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported PNG variant")
-            if ctype_i not in _PNG_CHANNELS or not width or not height:
+            if (
+                ctype_i not in _PNG_CHANNELS and ctype_i != 3
+            ) or not width or not height:
                 raise ValueError("unsupported color type")
-            ch = _PNG_CHANNELS[ctype_i]
-            if width * height * ch > _MAX_PIXEL_BYTES:
-                raise ValueError("image exceeds decode pixel budget")
-            pos, has_idat = 33, False
+            pos, has_idat, plte_len, trns_len = 33, False, None, None
             while pos + 8 <= len(b):
                 (clen,) = struct.unpack_from(">I", b, pos)
                 ctype = b[pos + 4 : pos + 8]
@@ -277,11 +308,26 @@ def image_header_meta(blob) -> tuple:
                     raise ValueError("truncated chunk")
                 if ctype == b"IDAT":
                     has_idat = True
+                elif ctype == b"PLTE":
+                    plte_len = clen
+                elif ctype == b"tRNS":
+                    trns_len = clen
                 elif ctype == b"IEND":
                     break
                 pos += 12 + clen
             if not has_idat:
                 raise ValueError("missing IDAT")
+            if ctype_i == 3:
+                # indexed: PLTE mandatory; tRNS upgrades output to RGBA
+                if not plte_len or plte_len % 3 or plte_len > 768:
+                    raise ValueError("bad or missing PLTE")
+                if trns_len is not None and trns_len > plte_len // 3:
+                    raise ValueError("tRNS longer than palette")
+                ch = 4 if trns_len is not None else 3
+            else:
+                ch = _PNG_CHANNELS[ctype_i]
+            if width * height * ch > _MAX_PIXEL_BYTES:
+                raise ValueError("image exceeds decode pixel budget")
             return width, height, ch, True
         if b[:2] == b"\xff\xd8":
             return _jpeg.jpeg_header_meta(b)

@@ -613,3 +613,118 @@ def test_adam7_property_random(h, w, c, filters, seed):
     inter = decode_image_real(make_png_adam7(px, filters=filters))
     assert inter[:3] == (w, h, c) and inter[4]
     np.testing.assert_array_equal(inter[3], px)
+
+
+# --- indexed-color (palette) PNG ------------------------------------------
+
+
+def make_png_palette(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    trns: bytes | None = None,
+    interlaced: bool = False,
+    filters=None,
+) -> bytes:
+    """idx: (h, w) uint8 palette indices; palette: (n, 3) uint8 RGB.
+    Forward path mirrors the spec: indices are filtered exactly like any
+    1-byte-per-pixel stream; PLTE/tRNS chunks precede IDAT."""
+    h, w = idx.shape
+    raw = bytearray()
+    if interlaced:
+        filters = filters or [0] * 7
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_FWD):
+            sub = idx[y0::dy, x0::dx]
+            ph, pw = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            prev = bytes(pw)
+            for y in range(ph):
+                line = sub[y].tobytes()
+                raw.append(filters[pi])
+                raw += _filter_line(filters[pi], line, prev, 1)
+                prev = line
+    else:
+        filters = filters or [0] * h
+        prev = bytes(w)
+        for y in range(h):
+            line = idx[y].tobytes()
+            raw.append(filters[y])
+            raw += _filter_line(filters[y], line, prev, 1)
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1 if interlaced else 0)
+    chunks = [_chunk(b"IHDR", ihdr), _chunk(b"PLTE", palette.tobytes())]
+    if trns is not None:
+        chunks.append(_chunk(b"tRNS", trns))
+    chunks += [_chunk(b"IDAT", zlib.compress(bytes(raw))), _chunk(b"IEND", b"")]
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def _pal_fixture(n=7, h=13, w=17, seed=3):
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+    return idx, palette
+
+
+def test_palette_rgb_roundtrip():
+    idx, palette = _pal_fixture()
+    w, h, c, px, valid = decode_image_real(make_png_palette(idx, palette))
+    assert (w, h, c, valid) == (17, 13, 3, True)
+    np.testing.assert_array_equal(px, palette[idx])
+
+
+def test_palette_trns_rgba_and_default_alpha():
+    """tRNS shorter than the palette: uncovered entries default to 255."""
+    idx, palette = _pal_fixture(n=5)
+    trns = bytes([0, 128, 255])  # entries 0-2; 3-4 default opaque
+    w, h, c, px, valid = decode_image_real(make_png_palette(idx, palette, trns))
+    assert (c, valid) == (4, True)
+    alpha = np.array([0, 128, 255, 255, 255], dtype=np.uint8)
+    expect = np.concatenate([palette, alpha[:, None]], axis=1)[idx]
+    np.testing.assert_array_equal(px, expect)
+
+
+def test_palette_filtered_and_interlaced():
+    idx, palette = _pal_fixture(n=11, h=21, w=19)
+    plain = decode_image_real(make_png_palette(idx, palette, filters=[1, 2, 3, 4] * 5 + [0]))
+    inter = decode_image_real(
+        make_png_palette(idx, palette, interlaced=True, filters=[0, 1, 2, 3, 4, 2, 1])
+    )
+    assert plain[4] and inter[4]
+    np.testing.assert_array_equal(plain[3], palette[idx])
+    np.testing.assert_array_equal(inter[3], palette[idx])
+
+
+def test_palette_malformations():
+    idx, palette = _pal_fixture()
+    # index out of range: palette of 7 entries, index 200
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    assert decode_image_real(make_png_palette(bad_idx, palette))[4] is False
+    # PLTE not a multiple of 3
+    blob = make_png_palette(idx, palette)
+    ragged = blob.replace(
+        _chunk(b"PLTE", palette.tobytes()),
+        _chunk(b"PLTE", palette.tobytes() + b"\x01"),
+    )
+    assert decode_image_real(ragged)[4] is False
+    # missing PLTE entirely
+    gone = blob.replace(_chunk(b"PLTE", palette.tobytes()), b"")
+    assert decode_image_real(gone)[4] is False
+    # tRNS longer than the palette
+    too_long = make_png_palette(idx, palette, trns=bytes(8))
+    assert decode_image_real(too_long)[4] is False
+
+
+def test_palette_header_meta_channels():
+    from spiderspark.multimodal import image_header_meta
+
+    idx, palette = _pal_fixture()
+    assert image_header_meta(make_png_palette(idx, palette)) == (17, 13, 3, True)
+    assert image_header_meta(
+        make_png_palette(idx, palette, trns=bytes([7]))
+    ) == (17, 13, 4, True)
+    gone = make_png_palette(idx, palette).replace(
+        _chunk(b"PLTE", palette.tobytes()), b""
+    )
+    assert image_header_meta(gone)[3] is False
