@@ -10,6 +10,8 @@ Decoders, by tier:
   depth; gray/gray+alpha/RGB/RGBA AND indexed-color with PLTE + optional
   tRNS alpha; all five scanline filters, multi-IDAT, non-interlaced AND
   Adam7-interlaced, CRC-checked; zlib inflate via the stdlib),
+  GIF87a/89a (from-scratch LZW, global/local color tables, 4-pass
+  interlacing, GCE transparency; first frame of animations),
   uncompressed 24-bit BMP
   (BI_RGB, bottom-up or top-down, 4-byte row padding), and huffman-DCT
   JPEG (see jpeg.py: baseline SOF0/SOF1 AND progressive SOF2 with
@@ -261,6 +263,173 @@ def _decode_bmp(buf: bytes):
     return width, height, 3, px[:, :, ::-1]  # BGR → RGB
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF's LZW variant (GIF89a spec Appendix F): LITTLE-endian bit
+    packing, variable code width min+1..12, Clear resets the dictionary,
+    KwKwK self-reference allowed, dictionary capped at 4096. Decodes
+    exactly n_pixels indices (the EOI code, like real-world encoders,
+    is honored but not required once the pixel count is reached)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def fresh():
+        return [bytes([i]) for i in range(clear)] + [b"", b""], min_code_size + 1
+
+    table, width = fresh()
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended early")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and code != clear and code != eoi:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("bad LZW code")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("LZW stream short of pixels")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+def _gif_walk_to_frame(buf: bytes):
+    """Shared header walk: → (pos at first image descriptor's fields,
+    global color table | None, transparent index | None). Raises on
+    malformation; extensions are skipped by sub-block length (the GCE's
+    transparency flag is the one field read)."""
+    if buf[:6] not in _GIF_MAGICS:
+        raise ValueError("not GIF")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF")
+    _sw, _sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + n * 3 > len(buf):
+            raise ValueError("truncated color table")
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    transparent = None
+    while True:
+        b0 = buf[pos]  # IndexError on truncation → caller maps to invalid
+        pos += 1
+        if b0 == 0x2C:
+            return pos, gct, transparent
+        if b0 == 0x3B:
+            raise ValueError("no image data")
+        if b0 != 0x21:
+            raise ValueError("unknown GIF block")
+        label = buf[pos]
+        pos += 1
+        first = True
+        while True:
+            sz = buf[pos]
+            pos += 1
+            if sz == 0:
+                break
+            if pos + sz > len(buf):
+                raise ValueError("truncated sub-block")
+            if label == 0xF9 and first and sz >= 4:
+                gflags, _delay, tidx = struct.unpack_from("<BHB", buf, pos)
+                if gflags & 0x01:
+                    transparent = tidx
+            first = False
+            pos += sz
+
+
+def _gif_frame_header(buf: bytes, pos: int, gct, transparent):
+    """Parse one image descriptor at ``pos`` → (w, h, out_ch, interlaced,
+    color table (n,3), pos after any local color table)."""
+    left_top_wh = struct.unpack_from("<HHHHB", buf, pos)
+    _left, _top, w, h, iflags = left_top_wh
+    pos += 9
+    table = gct
+    if iflags & 0x80:
+        n = 2 << (iflags & 0x07)
+        if pos + n * 3 > len(buf):
+            raise ValueError("truncated color table")
+        table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    if table is None:
+        raise ValueError("no color table")
+    if not w or not h:
+        raise ValueError("bad dimensions")
+    ch = 4 if transparent is not None else 3
+    if w * h * ch > _MAX_PIXEL_BYTES:
+        raise ValueError("image exceeds decode pixel budget")
+    return w, h, ch, bool(iflags & 0x40), table, pos
+
+
+def _decode_gif(buf: bytes):
+    """→ (width, height, channels, pixels) for the FIRST frame of a
+    GIF87a/GIF89a stream (the crawl-sweep semantics for animations; every
+    later frame needs disposal compositing a training pipeline rarely
+    wants). Global/local color tables, 4-pass interlacing, and GCE
+    transparency (transparent index → RGBA with alpha 0) supported; the
+    LZW stream must cover the frame exactly."""
+    pos, gct, transparent = _gif_walk_to_frame(buf)
+    w, h, ch, interlaced, table, pos = _gif_frame_header(
+        buf, pos, gct, transparent
+    )
+    min_code = buf[pos]
+    pos += 1
+    if not (2 <= min_code <= 8):
+        raise ValueError("bad LZW minimum code size")
+    data = bytearray()
+    while True:
+        sz = buf[pos]
+        pos += 1
+        if sz == 0:
+            break
+        if pos + sz > len(buf):
+            raise ValueError("truncated data sub-block")
+        data += buf[pos : pos + sz]
+        pos += sz
+    idx = _gif_lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
+    if interlaced:
+        # 4-pass row order: stored row i is display row order[i]
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        deinter = np.zeros_like(idx)
+        deinter[order] = idx
+        idx = deinter
+    if int(idx.max()) >= table.shape[0]:
+        raise ValueError("color index out of range")
+    lut = table
+    if transparent is not None:
+        alpha = np.full(table.shape[0], 255, dtype=np.uint8)
+        if transparent < table.shape[0]:
+            alpha[transparent] = 0
+        lut = np.concatenate([table, alpha[:, None]], axis=1)
+    return w, h, ch, lut[idx]
+
+
 def image_header_meta(blob) -> tuple:
     """One blob → (width, height, channels, valid) from HEADERS ONLY — no
     inflate, no unfilter, no pixel allocation. The metadata path of
@@ -331,6 +500,14 @@ def image_header_meta(blob) -> tuple:
             return width, height, ch, True
         if b[:2] == b"\xff\xd8":
             return _jpeg.jpeg_header_meta(b)
+        if b[:6] in _GIF_MAGICS:
+            # walk to the first image descriptor (sub-blocks skipped by
+            # length — no LZW decode) for true frame dims + channels
+            pos, gct, transparent = _gif_walk_to_frame(b)
+            w, h, ch, _inter, _table, _pos = _gif_frame_header(
+                b, pos, gct, transparent
+            )
+            return w, h, ch, True
         if b[:2] == b"BM":
             if len(b) < 54:
                 raise ValueError("not BMP")
@@ -362,10 +539,9 @@ def image_header_meta(blob) -> tuple:
 
 def decode_image_real(blob) -> tuple:
     """One blob → (width, height, channels, pixels | None, valid). Format
-    sniffed by magic (PNG, huffman-DCT JPEG, BMP, IMG1); anything
-    undecodable (arithmetic-coded JPEG, palette PNG, junk, None) comes
-    back valid=False —
-    corrupt rows are data, not exceptions."""
+    sniffed by magic (PNG, huffman-DCT JPEG, GIF, BMP, IMG1); anything
+    undecodable (arithmetic-coded JPEG, junk, None) comes back
+    valid=False — corrupt rows are data, not exceptions."""
     if blob is None:
         return 0, 0, 0, None, False
     b = bytes(blob)
@@ -374,6 +550,8 @@ def decode_image_real(blob) -> tuple:
             w, h, c, px = _decode_png(b)
         elif b[:2] == b"\xff\xd8":
             w, h, c, px = _jpeg.decode_jpeg(b)
+        elif b[:6] in _GIF_MAGICS:
+            w, h, c, px = _decode_gif(b)
         elif b[:2] == b"BM":
             w, h, c, px = _decode_bmp(b)
         elif b[:4] == _MAGIC:
