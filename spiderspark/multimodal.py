@@ -798,9 +798,11 @@ def image_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# audio: WAV (RIFF PCM) decoded from scratch — stdlib struct + numpy, the
-# same decoder-seam pattern as the image tiers. Compressed codecs (mp3/aac/
-# opus) genuinely need native libraries → sniffed and returned invalid.
+# audio: WAV (RIFF) decoded from scratch — stdlib struct + numpy, the
+# same decoder-seam pattern as the image tiers: integer/float PCM, ITU-T
+# G.711 A-law/µ-law (LUT expansion), and IMA ADPCM (block-based nibble
+# prediction). Perceptual codecs (mp3/aac/opus) genuinely need native
+# libraries → sniffed and returned invalid.
 # ---------------------------------------------------------------------------
 
 AUDIO_META = T.StructType(
@@ -814,10 +816,112 @@ AUDIO_META = T.StructType(
 )
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """256-entry µ-law → linear int16 LUT (ITU-T G.711 / CCITT blue book:
+    invert bits, expand 4-bit mantissa + 3-bit segment around bias 0x84)."""
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return out
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law → linear int16 LUT (ITU-T G.711: XOR 0x55, then
+    segment expansion; the sign bit SET means positive, unlike µ-law)."""
+    out = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        out[code] = t if (a & 0x80) else -t
+    return out
+
+
+_ULAW_LUT = _g711_ulaw_table()
+_ALAW_LUT = _g711_alaw_table()
+
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Focus Group, 1992)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64)
+_IMA_STEP = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int64)
+
+
+def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM (WAVE format 0x11) → (n_samples, ch) int16. Block layout
+    per the Microsoft WAVE extension: a 4-byte per-channel header
+    (predictor int16, step index, reserved) whose predictor IS the first
+    output sample, then 4-byte nibble words interleaved per channel, low
+    nibble first. The per-nibble loop is the correctness tier (same
+    stance as the PNG Paeth / JPEG entropy loops)."""
+    if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
+        raise ValueError("bad ADPCM block align")
+    spb = 1 + (block_align - 4 * ch) * 2 // ch  # samples per block per ch
+    out = []
+    for b0 in range(0, len(data) - block_align + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        chans = []
+        preds, idxs = [], []
+        for c in range(ch):
+            pred, idx, _rsv = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("bad ADPCM step index")
+            preds.append(pred)
+            idxs.append(idx)
+            chans.append([pred])
+        pos = 4 * ch
+        # nibble words: 4 bytes per channel, round-robin
+        while pos < block_align:
+            for c in range(ch):
+                word = block[pos : pos + 4]
+                pos += 4
+                pred, idx = preds[c], idxs[c]
+                samples = chans[c]
+                for byte in word:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = int(_IMA_STEP[idx])
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        pred = pred - diff if nib & 8 else pred + diff
+                        pred = max(-32768, min(32767, pred))
+                        samples.append(pred)
+                        idx = max(0, min(88, idx + int(_IMA_INDEX[nib])))
+                preds[c], idxs[c] = pred, idx
+        block_out = np.empty((spb, ch), dtype=np.int16)
+        for c in range(ch):
+            block_out[:, c] = chans[c][:spb]
+        out.append(block_out)
+    if not out:
+        raise ValueError("no complete ADPCM block")
+    return np.concatenate(out, axis=0)
+
+
 def decode_wav(buf) -> tuple:
     """One blob → (sample_rate, channels, n_samples, samples (n, ch)
     float64 in [-1, 1] | None, valid). RIFF/WAVE with PCM (format 1,
-    8/16/32-bit) or IEEE float (format 3, 32/64-bit); chunk walk tolerates
+    8/16/32-bit), IEEE float (format 3, 32/64-bit), ITU-T G.711 A-law /
+    µ-law (formats 6/7, LUT expansion), or IMA ADPCM (format 0x11,
+    block-based nibble prediction); chunk walk tolerates
     extra chunks (LIST, fact) and odd-length padding per the RIFF spec."""
     if buf is None:
         return 0, 0, 0, None, False
@@ -852,6 +956,19 @@ def decode_wav(buf) -> tuple:
             s = np.frombuffer(data, dtype="<f4").astype(np.float64)
         elif audio_fmt == 3 and bits == 64:
             s = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        elif audio_fmt == 6 and bits == 8:  # G.711 A-law
+            s = _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)].astype(
+                np.float64
+            ) / 32768.0
+        elif audio_fmt == 7 and bits == 8:  # G.711 µ-law
+            s = _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)].astype(
+                np.float64
+            ) / 32768.0
+        elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
+            block = fmt[4]
+            pcm = _ima_adpcm_decode(data, ch, block)
+            samples = pcm.astype(np.float64) / 32768.0
+            return rate, ch, samples.shape[0], samples, True
         else:
             raise ValueError("unsupported WAV encoding")
         n = len(s) // ch

@@ -728,3 +728,173 @@ def test_palette_header_meta_channels():
         _chunk(b"PLTE", palette.tobytes()), b""
     )
     assert image_header_meta(gone)[3] is False
+
+
+# --- G.711 (A-law / µ-law) + IMA ADPCM WAV --------------------------------
+#
+# Validated against the stdlib `audioop` C implementation — an independent
+# transcription of the same public specs (ITU-T G.711; IMA ADPCM 1992).
+# audioop packs ADPCM nibbles HIGH-first while WAV blocks are LOW-first,
+# so the reference stream is repacked accordingly.
+
+import audioop  # noqa: E402  (stdlib in 3.11; removed in 3.13 — see note)
+
+from spiderspark.multimodal import (  # noqa: E402
+    _ALAW_LUT,
+    _ULAW_LUT,
+    _ima_adpcm_decode,
+)
+
+
+def _wav_blob(fmt_tag, ch, rate, bits, data, block_align=None, extra=b""):
+    block = block_align if block_align else ch * max(1, bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, ch, rate, rate * block, block, bits
+    ) + extra
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_luts_match_audioop():
+    codes = bytes(range(256))
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    np.testing.assert_array_equal(_ULAW_LUT, ref_u)
+    np.testing.assert_array_equal(_ALAW_LUT, ref_a)
+    # spec anchor values: µ-law 0xFF is +0; A-law 0x55 is -8
+    assert _ULAW_LUT[0xFF] == 0
+    assert _ALAW_LUT[0x55] == -8
+
+
+@pytest.mark.parametrize("tag,lut", [(6, "_ALAW_LUT"), (7, "_ULAW_LUT")])
+def test_g711_wav_end_to_end(tag, lut):
+    import spiderspark.multimodal as mm
+
+    codes = bytes(range(256)) * 3
+    rate, ch, n, s, ok = decode_wav(_wav_blob(tag, 2, 8000, 8, codes))
+    assert ok and (rate, ch, n) == (8000, 2, len(codes) // 2)
+    table = getattr(mm, lut)
+    expect = table[np.frombuffer(codes, np.uint8)].astype(np.float64) / 32768.0
+    np.testing.assert_allclose(s.reshape(-1), expect, atol=1e-15)
+
+
+def _ima_block(pred, idx, nibbles):
+    """One mono WAV IMA block: 4-byte header + low-nibble-first words."""
+    assert len(nibbles) % 8 == 0
+    body = bytearray(struct.pack("<hBB", pred, idx, 0))
+    for i in range(0, len(nibbles), 2):
+        body.append(nibbles[i] | (nibbles[i + 1] << 4))
+    return bytes(body)
+
+
+def test_ima_adpcm_inner_loop_matches_audioop():
+    rng = np.random.default_rng(13)
+    nibbles = list(rng.integers(0, 16, size=64))
+    pred, idx = -1234, 30
+    block = _ima_block(pred, idx, nibbles)
+    got = _ima_adpcm_decode(block, 1, len(block))
+    assert got.shape == (65, 1) and got[0, 0] == pred
+    # audioop packs high nibble first: repack the same nibble sequence
+    packed = bytes(
+        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, 64, 2)
+    )
+    ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, (pred, idx))[0], dtype="<i2"
+    )
+    np.testing.assert_array_equal(got[1:, 0], ref)
+
+
+def test_ima_adpcm_stereo_interleave():
+    """Stereo blocks interleave 4-byte nibble words per channel; each
+    channel must decode exactly as its own mono stream."""
+    rng = np.random.default_rng(4)
+    nib = {c: list(rng.integers(0, 16, size=16)) for c in range(2)}
+    hdr = {0: (100, 10), 1: (-2000, 44)}
+    block = bytearray()
+    for c in range(2):
+        block += struct.pack("<hBB", *hdr[c], 0)
+    for w in range(2):  # two words per channel
+        for c in range(2):
+            for i in range(w * 8, w * 8 + 8, 2):
+                block.append(nib[c][i] | (nib[c][i + 1] << 4))
+    got = _ima_adpcm_decode(bytes(block), 2, len(block))
+    assert got.shape == (17, 2)
+    for c in range(2):
+        mono = _ima_adpcm_decode(
+            _ima_block(*hdr[c], nib[c]), 1, 4 + 8
+        )
+        np.testing.assert_array_equal(got[:, c], mono[:, 0])
+
+
+def test_ima_adpcm_wav_end_to_end_multiblock():
+    """Two-block mono fmt-0x11 WAV through decode_wav, against audioop's
+    encoder driven from zero state (the first block header is then (0,0)
+    and WAV's leading header sample is 0)."""
+    sig = (np.sin(np.arange(128) / 5.0) * 18000).astype(np.int16)
+    packed, _state = audioop.lin2adpcm(sig.astype("<i2").tobytes(), 2, None)
+    # repack high-first → low-first, split into two 32-sample-pair blocks
+    nibbles = []
+    for byte in packed:
+        nibbles += [byte >> 4, byte & 0x0F]
+    decoded_ref = np.frombuffer(
+        audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype="<i2"
+    )
+    spb_nibbles = 64  # (block_align 36 - 4) * 2 = 64 data samples/block
+    blocks = bytearray()
+    state_points = [(0, 0)]
+    # replay the state machine to find each block's header state
+    pred, idx = 0, 0
+    for i, n in enumerate(nibbles):
+        if i and i % spb_nibbles == 0:
+            state_points.append((pred, idx))
+        step = int(_IMA_STEP_REF[idx])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(_IMA_INDEX_REF[n])))
+    for b in range(2):
+        blocks += _ima_block(
+            *state_points[b], nibbles[b * spb_nibbles : (b + 1) * spb_nibbles]
+        )
+    extra = struct.pack("<HH", 2, 65)  # cbSize=2, samples/block=65
+    blob = _wav_blob(0x11, 1, 8000, 4, bytes(blocks), block_align=36, extra=extra)
+    rate, ch, n, s, ok = decode_wav(blob)
+    assert ok and (rate, ch, n) == (8000, 1, 130)
+    got = np.round(s[:, 0] * 32768.0).astype(np.int16)
+    # block samples: header sample + 64 nibble samples; nibble samples
+    # must equal audioop's stream at the right offsets
+    np.testing.assert_array_equal(got[1:65], decoded_ref[:64])
+    np.testing.assert_array_equal(got[66:130], decoded_ref[64:128])
+    assert got[0] == 0 and got[65] == decoded_ref[63]
+
+
+# independent table transcriptions for the header-state replay above
+_IMA_INDEX_REF = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+_IMA_STEP_REF = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+
+
+def test_ima_adpcm_malformations():
+    # step index > 88 in the header
+    bad = _ima_block(0, 100, [0] * 8)
+    assert decode_wav(
+        _wav_blob(0x11, 1, 8000, 4, bad, block_align=len(bad))
+    )[4] is False
+    # block align not matching channel word structure
+    assert decode_wav(_wav_blob(0x11, 2, 8000, 4, b"\x00" * 10, block_align=10))[4] is False
