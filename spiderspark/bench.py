@@ -447,8 +447,12 @@ def _subprocess_rate(cores: int, frontier: int, crawl: bool = False) -> dict:
     res = json.loads(line)
     if s0 is not None and s1 is not None:
         ncpu = os.cpu_count() or 32
+        try:
+            hz = os.sysconf("SC_CLK_TCK")  # /proc/stat tick rate (USER_HZ)
+        except (ValueError, OSError):
+            hz = 100
         # fraction of the BOX's cycles stolen by the host over this arm
-        res["steal_frac"] = round((s1 - s0) / ((t1 - t0) * 100.0 * ncpu), 4)
+        res["steal_frac"] = round((s1 - s0) / ((t1 - t0) * hz * ncpu), 4)
     return res
 
 

@@ -9,8 +9,11 @@ Supported: baseline DCT (SOF0), extended-sequential huffman (SOF1 —
 identical decode path at 8-bit precision), and PROGRESSIVE huffman (SOF2:
 spectral selection + successive approximation per T.81 Annex G — DC
 first/refinement scans, per-component AC band scans with EOB runs, and
-AC refinement with correction bits); 1- or 3-component, arbitrary Hi/Vi
-sampling factors up to 4 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals,
+AC refinement with correction bits); 1- or 3-component, integer-ratio
+Hi/Vi sampling factors up to 4 — every component's factor must divide the
+frame max, which covers 4:4:4, 4:2:2, 4:2:0, 4:1:1 (fractional-ratio
+sampling like Y=3x1/C=2x1 is spec-legal but rejected, because the
+replication upsampler would silently mis-stretch it), restart intervals,
 8- and 16-bit DQT precision, multi-table DHT/DQT segments, DHT/DQT/DRI
 between progressive scans. Rejected as ValueError (callers map to
 valid=False, never a crash): arithmetic coding, hierarchical/lossless SOF
@@ -540,6 +543,15 @@ def decode_jpeg(buf: bytes):
                 comps[0]["h"] = comps[0]["v"] = 1
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
+            for c in comps:
+                # the replication upsampler needs INTEGER ratios; spec-legal
+                # fractional sampling (e.g. Y 3x1 with chroma 2x1) would
+                # otherwise decode silently-wrong pixels — reject instead
+                # (the module's "ValueError, never wrong data" contract)
+                if hmax % c["h"] != 0 or vmax % c["v"] != 0:
+                    raise ValueError(
+                        "non-integer-ratio chroma sampling unsupported"
+                    )
             mcus_x = -(-width // (8 * hmax))
             mcus_y = -(-height // (8 * vmax))
             for c in comps:
@@ -683,7 +695,16 @@ def jpeg_header_meta(buf: bytes):
                     and width > 0
                     and height > 0
                     and width * height * out_ch <= MAX_PIXEL_BYTES
+                    and seglen >= 8 + 3 * nf
                 )
+                if ok and nf == 3:
+                    # mirror the pixel decoder's integer-ratio sampling
+                    # subset (it rejects fractional ratios as ValueError)
+                    hs = [buf[i + 11 + 3 * k] >> 4 for k in range(nf)]
+                    vs = [buf[i + 11 + 3 * k] & 0x0F for k in range(nf)]
+                    ok = all(1 <= x <= 4 for x in hs + vs) and all(
+                        max(hs) % x == 0 for x in hs
+                    ) and all(max(vs) % x == 0 for x in vs)
                 return (width, height, out_ch, True) if ok else (0, 0, 0, False)
             if marker in (
                 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,

@@ -862,16 +862,26 @@ _IMA_STEP = np.array([
 ], dtype=np.int64)
 
 
-def _ima_adpcm_decode(data: bytes, ch: int, block_align: int) -> np.ndarray:
+def _ima_adpcm_decode(
+    data: bytes, ch: int, block_align: int, spb_decl: int | None = None
+) -> np.ndarray:
     """IMA ADPCM (WAVE format 0x11) → (n_samples, ch) int16. Block layout
     per the Microsoft WAVE extension: a 4-byte per-channel header
     (predictor int16, step index, reserved) whose predictor IS the first
     output sample, then 4-byte nibble words interleaved per channel, low
-    nibble first. The per-nibble loop is the correctness tier (same
-    stance as the PNG Paeth / JPEG entropy loops)."""
+    nibble first. ``spb_decl`` is the fmt extension's wSamplesPerBlock
+    when the file declares one — pad nibbles past it are decoded (they
+    advance no state that matters) but NOT emitted, so n_samples matches
+    reference decoders on partially-filled blocks. The per-nibble loop is
+    the correctness tier (same stance as the PNG Paeth / JPEG entropy
+    loops)."""
     if block_align < 4 * ch or (block_align - 4 * ch) % (4 * ch):
         raise ValueError("bad ADPCM block align")
     spb = 1 + (block_align - 4 * ch) * 2 // ch  # samples per block per ch
+    if spb_decl is not None:
+        if not (1 <= spb_decl <= spb):
+            raise ValueError("bad ADPCM wSamplesPerBlock")
+        spb = spb_decl
     out = []
     for b0 in range(0, len(data) - block_align + 1, block_align):
         block = data[b0 : b0 + block_align]
@@ -930,6 +940,7 @@ def decode_wav(buf) -> tuple:
         if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
             raise ValueError("not WAV")
         pos, fmt, data = 12, None, None
+        spb_decl, fact_n = None, None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
             (clen,) = struct.unpack_from("<I", b, pos + 4)
@@ -938,6 +949,15 @@ def decode_wav(buf) -> tuple:
                 raise ValueError("truncated chunk")
             if cid == b"fmt ":
                 fmt = struct.unpack_from("<HHIIHH", body, 0)
+                # extension block: cbSize at 16; for ADPCM codecs the
+                # first extension word is wSamplesPerBlock
+                if clen >= 20:
+                    (cb,) = struct.unpack_from("<H", body, 16)
+                    if cb >= 2:
+                        (spb_decl,) = struct.unpack_from("<H", body, 18)
+            elif cid == b"fact" and clen >= 4:
+                # authoritative decoded-sample count for compressed formats
+                (fact_n,) = struct.unpack_from("<I", body, 0)
             elif cid == b"data":
                 data = body
             pos += 8 + clen + (clen & 1)  # RIFF pads odd chunks
@@ -966,7 +986,13 @@ def decode_wav(buf) -> tuple:
             ) / 32768.0
         elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
             block = fmt[4]
-            pcm = _ima_adpcm_decode(data, ch, block)
+            pcm = _ima_adpcm_decode(data, ch, block, spb_decl)
+            if fact_n is not None:
+                # fact chunk bounds the true total (final block may be
+                # partial); more than declared means pad nibbles — drop them
+                if fact_n > pcm.shape[0]:
+                    raise ValueError("fact count exceeds decoded samples")
+                pcm = pcm[:fact_n]
             samples = pcm.astype(np.float64) / 32768.0
             return rate, ch, samples.shape[0], samples, True
         else:

@@ -733,17 +733,36 @@ def test_palette_header_meta_channels():
 # --- G.711 (A-law / µ-law) + IMA ADPCM WAV --------------------------------
 #
 # Validated against the stdlib `audioop` C implementation — an independent
-# transcription of the same public specs (ITU-T G.711; IMA ADPCM 1992).
-# audioop packs ADPCM nibbles HIGH-first while WAV blocks are LOW-first,
-# so the reference stream is repacked accordingly.
+# transcription of the same public specs (ITU-T G.711; IMA ADPCM 1992) —
+# whose outputs are FROZEN in tests/fixtures/audio_golden.json because
+# audioop was removed in Python 3.13 (tests/gen_audio_golden.py is the
+# regenerator; test_audio_golden_matches_audioop re-derives live while the
+# interpreter still ships the module). audioop packs ADPCM nibbles
+# HIGH-first while WAV blocks are LOW-first, so reference streams are
+# repacked accordingly.
 
-import audioop  # noqa: E402  (stdlib in 3.11; removed in 3.13 — see note)
+import json  # noqa: E402
+import os  # noqa: E402
 
 from spiderspark.multimodal import (  # noqa: E402
     _ALAW_LUT,
     _ULAW_LUT,
     _ima_adpcm_decode,
 )
+
+with open(
+    os.path.join(os.path.dirname(__file__), "fixtures", "audio_golden.json")
+) as _f:
+    _AUDIO_GOLDEN = json.load(_f)
+
+
+def test_audio_golden_matches_audioop():
+    """Live cross-check of the frozen oracle, while audioop still exists:
+    the committed fixture must be exactly what audioop produces today."""
+    pytest.importorskip("audioop")
+    from tests.gen_audio_golden import golden
+
+    assert golden() == _AUDIO_GOLDEN
 
 
 def _wav_blob(fmt_tag, ch, rate, bits, data, block_align=None, extra=b""):
@@ -758,12 +777,9 @@ def _wav_blob(fmt_tag, ch, rate, bits, data, block_align=None, extra=b""):
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def test_g711_luts_match_audioop():
-    codes = bytes(range(256))
-    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
-    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
-    np.testing.assert_array_equal(_ULAW_LUT, ref_u)
-    np.testing.assert_array_equal(_ALAW_LUT, ref_a)
+def test_g711_luts_match_golden():
+    np.testing.assert_array_equal(_ULAW_LUT, _AUDIO_GOLDEN["ulaw_lut"])
+    np.testing.assert_array_equal(_ALAW_LUT, _AUDIO_GOLDEN["alaw_lut"])
     # spec anchor values: µ-law 0xFF is +0; A-law 0x55 is -8
     assert _ULAW_LUT[0xFF] == 0
     assert _ALAW_LUT[0x55] == -8
@@ -790,21 +806,13 @@ def _ima_block(pred, idx, nibbles):
     return bytes(body)
 
 
-def test_ima_adpcm_inner_loop_matches_audioop():
-    rng = np.random.default_rng(13)
-    nibbles = list(rng.integers(0, 16, size=64))
-    pred, idx = -1234, 30
+def test_ima_adpcm_inner_loop_matches_golden():
+    g = _AUDIO_GOLDEN["adpcm_inner"]
+    pred, idx, nibbles = g["pred"], g["idx"], g["nibbles"]
     block = _ima_block(pred, idx, nibbles)
     got = _ima_adpcm_decode(block, 1, len(block))
     assert got.shape == (65, 1) and got[0, 0] == pred
-    # audioop packs high nibble first: repack the same nibble sequence
-    packed = bytes(
-        (nibbles[i] << 4) | nibbles[i + 1] for i in range(0, 64, 2)
-    )
-    ref = np.frombuffer(
-        audioop.adpcm2lin(packed, 2, (pred, idx))[0], dtype="<i2"
-    )
-    np.testing.assert_array_equal(got[1:, 0], ref)
+    np.testing.assert_array_equal(got[1:, 0], g["ref"])
 
 
 def test_ima_adpcm_stereo_interleave():
@@ -832,16 +840,15 @@ def test_ima_adpcm_stereo_interleave():
 def test_ima_adpcm_wav_end_to_end_multiblock():
     """Two-block mono fmt-0x11 WAV through decode_wav, against audioop's
     encoder driven from zero state (the first block header is then (0,0)
-    and WAV's leading header sample is 0)."""
-    sig = (np.sin(np.arange(128) / 5.0) * 18000).astype(np.int16)
-    packed, _state = audioop.lin2adpcm(sig.astype("<i2").tobytes(), 2, None)
+    and WAV's leading header sample is 0). Stream + reference decode are
+    the frozen audioop vectors (see module comment)."""
+    g = _AUDIO_GOLDEN["adpcm_multiblock"]
+    packed = bytes.fromhex(g["packed_hex"])
     # repack high-first → low-first, split into two 32-sample-pair blocks
     nibbles = []
     for byte in packed:
         nibbles += [byte >> 4, byte & 0x0F]
-    decoded_ref = np.frombuffer(
-        audioop.adpcm2lin(packed, 2, (0, 0))[0], dtype="<i2"
-    )
+    decoded_ref = np.asarray(g["ref"], dtype=np.int16)
     spb_nibbles = 64  # (block_align 36 - 4) * 2 = 64 data samples/block
     blocks = bytearray()
     state_points = [(0, 0)]
@@ -898,3 +905,59 @@ def test_ima_adpcm_malformations():
     )[4] is False
     # block align not matching channel word structure
     assert decode_wav(_wav_blob(0x11, 2, 8000, 4, b"\x00" * 10, block_align=10))[4] is False
+
+
+def test_ima_adpcm_samples_per_block_truncation():
+    """A fmt-extension wSamplesPerBlock below block capacity marks the
+    tail nibbles as PADDING: they must not become output samples
+    (n_samples/duration would otherwise exceed reference decoders)."""
+    rng = np.random.default_rng(7)
+    nibbles = list(rng.integers(0, 16, size=64))  # capacity 65 samples
+    block = _ima_block(500, 20, nibbles)
+    full = _ima_adpcm_decode(block, 1, len(block))
+    assert full.shape == (65, 1)
+    # declared 57 samples/block → last 8 nibbles are pad
+    extra = struct.pack("<HH", 2, 57)
+    blob = _wav_blob(0x11, 1, 8000, 4, block, block_align=len(block), extra=extra)
+    rate, ch, n, s, ok = decode_wav(blob)
+    assert ok and n == 57
+    got = np.round(s[:, 0] * 32768.0).astype(np.int16)
+    np.testing.assert_array_equal(got, full[:57, 0])
+    # declared count exceeding capacity is malformed
+    bad = struct.pack("<HH", 2, 66)
+    assert decode_wav(
+        _wav_blob(0x11, 1, 8000, 4, block, block_align=len(block), extra=bad)
+    )[4] is False
+
+
+def test_ima_adpcm_fact_chunk_truncates_final_block():
+    """The fact chunk's sample count bounds the decoded total: a partial
+    final block decodes only up to it."""
+    rng = np.random.default_rng(8)
+    b1 = _ima_block(0, 0, list(rng.integers(0, 16, size=64)))
+    b2 = _ima_block(123, 5, list(rng.integers(0, 16, size=64)))
+    data = b1 + b2
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000 * 36 // 65, 36, 4)
+    fact = struct.pack("<I", 100)  # 65 + 35: final block partial
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, ch, n, s, ok = decode_wav(blob)
+    assert ok and n == 100
+    ref = np.concatenate(
+        [_ima_adpcm_decode(b1, 1, 36), _ima_adpcm_decode(b2, 1, 36)]
+    )
+    got = np.round(s[:, 0] * 32768.0).astype(np.int16)
+    np.testing.assert_array_equal(got, ref[:100, 0])
+    # fact exceeding what the data chunk holds is malformed
+    bad_fact = struct.pack("<I", 131)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", 4) + bad_fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert decode_wav(blob)[4] is False

@@ -846,3 +846,35 @@ def test_progressive_property_random(h, w, gray, quant, subsampling, restart, se
     )
     assert base[:3] == prog[:3]
     np.testing.assert_array_equal(base[3], prog[3])
+
+
+def _patch_sof_sampling(blob: bytes, hv_per_comp: list) -> bytes:
+    """Rewrite the Hi/Vi nibbles of each component in the first SOF0
+    segment (component k's hv byte sits 11 + 3k past the 0xFFC0)."""
+    i = blob.index(b"\xff\xc0")
+    out = bytearray(blob)
+    for k, (h_i, v_i) in enumerate(hv_per_comp):
+        out[i + 11 + 3 * k] = (h_i << 4) | v_i
+    return bytes(out)
+
+
+def test_fractional_chroma_sampling_rejected():
+    """Spec-legal but fractional-ratio sampling (Y 3x1 over chroma 2x1 →
+    ratio 1.5) must be REJECTED, not floor-stretched into silently wrong
+    pixels: both the pixel decoder and the header-only path refuse it,
+    while an integer-ratio patch of the same stream still passes the
+    header path (proves the guard is the ratio, not the patching)."""
+    px = _gradient(16, 24, 3)
+    blob = make_jpeg(px, subsampling="444")
+    frac = _patch_sof_sampling(blob, [(3, 1), (2, 1), (1, 1)])
+    with pytest.raises(ValueError):
+        decode_jpeg(frac)
+    assert jpeg_header_meta(frac) == (0, 0, 0, False)
+    # vertical fractional ratio too (3x? over ?x2)
+    fracv = _patch_sof_sampling(blob, [(1, 3), (1, 2), (1, 1)])
+    with pytest.raises(ValueError):
+        decode_jpeg(fracv)
+    assert jpeg_header_meta(fracv) == (0, 0, 0, False)
+    # integer ratios through the SAME patcher stay header-valid
+    ok = _patch_sof_sampling(blob, [(4, 2), (2, 1), (1, 2)])
+    assert jpeg_header_meta(ok)[3] is np.True_ or jpeg_header_meta(ok)[3] is True
