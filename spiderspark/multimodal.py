@@ -716,6 +716,126 @@ def mean_pixel_features(
     return df.mapInPandas(extract, schema=out_schema)
 
 
+def synthetic_real_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-wire-format media table — a pure function of
+    item_id, so the driver's DuckDB oracle can state every decoded property
+    closed-form (see spiderspark.encoders). Per row i: every 11th null,
+    every 13th junk bytes (len 24); otherwise format i%6 ∈ (PNG gray, PNG
+    RGB, PNG indexed, GIF [interlaced on odd i//6], BMP, baseline JPEG),
+    dims (6 + 2*(i%5)) × (4 + i%9) — width EVEN so the checkerboard stats
+    are exact — values v / v+17 with v = 30 + (i*7)%190 (JPEG rows constant
+    v), every blob padded to exactly 1024 bytes via spec-skippable
+    elements."""
+    from .encoders import (
+        encode_bmp,
+        encode_gif,
+        encode_jpeg_const_gray,
+        encode_png,
+    )
+
+    rows = []
+    for i in range(n):
+        if i % 11 == 10:
+            blob = None
+        elif i % 13 == 12:
+            blob = b"NOPE" + bytes([i % 256]) * 20
+        else:
+            fmt = i % 6
+            w, h = 6 + 2 * (i % 5), 4 + i % 9
+            v = 30 + (i * 7) % 190
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            checker = (v + 17 * ((xs + ys) % 2)).astype(np.uint8)
+            pal = np.array([[v] * 3, [v + 17] * 3], dtype=np.uint8)
+            idx = ((xs + ys) % 2).astype(np.uint8)
+            if fmt == 0:
+                blob = encode_png(checker, pad_to=1024)
+            elif fmt == 1:
+                blob = encode_png(
+                    np.repeat(checker[:, :, None], 3, axis=2), pad_to=1024
+                )
+            elif fmt == 2:
+                blob = encode_png(idx, palette=pal, pad_to=1024)
+            elif fmt == 3:
+                blob = encode_gif(
+                    idx, pal, interlace=bool((i // 6) % 2), pad_to=1024
+                )
+            elif fmt == 4:
+                blob = encode_bmp(
+                    np.repeat(checker[:, :, None], 3, axis=2), pad_to=1024
+                )
+            else:
+                blob = encode_jpeg_const_gray(w, h, v, pad_to=1024)
+        rows.append((i, blob))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("item_id", T.LongType()),
+                T.StructField("img", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_DECODE_PROFILE = T.StructType(
+    [
+        T.StructField("item_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("valid", T.BooleanType()),
+        T.StructField("f_mean", T.DoubleType()),
+        T.StructField("f_std", T.DoubleType()),
+        T.StructField("f_min", T.DoubleType()),
+        T.StructField("f_max", T.DoubleType()),
+    ]
+)
+
+
+def real_decode_profile(df: DataFrame, blob_col: str = "img") -> DataFrame:
+    """FULL pixel decode (PNG inflate+unfilter, GIF LZW, JPEG entropy+IDCT,
+    BMP) of every blob → dims + pixel statistics in one mapInPandas pass —
+    the driver-checkable profile of the real decoder tier (metadata comes
+    from the decode itself here, not the header walk; invalid rows keep
+    zeroed stats)."""
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "item_id": pdf["item_id"].to_numpy(),
+                "width": np.zeros(n, np.int32),
+                "height": np.zeros(n, np.int32),
+                "channels": np.zeros(n, np.int32),
+                "n_bytes": np.fromiter(
+                    (0 if b is None else len(b) for b in pdf[blob_col]),
+                    dtype=np.int64,
+                    count=n,
+                ),
+                "valid": np.zeros(n, bool),
+                "f_mean": np.zeros(n, np.float64),
+                "f_std": np.zeros(n, np.float64),
+                "f_min": np.zeros(n, np.float64),
+                "f_max": np.zeros(n, np.float64),
+            }
+            for k, b in enumerate(pdf[blob_col]):
+                w, h, c, px, ok = decode_image_real(b)
+                if ok and px is not None and px.size:
+                    out["width"][k] = w
+                    out["height"][k] = h
+                    out["channels"][k] = c
+                    out["valid"][k] = True
+                    f = px.astype(np.float64)
+                    out["f_mean"][k] = f.mean()
+                    out["f_std"][k] = f.std()
+                    out["f_min"][k] = f.min()
+                    out["f_max"][k] = f.max()
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=_DECODE_PROFILE)
+
+
 def synthetic_media_df(spark, n: int = 64) -> DataFrame:
     """Deterministic media table for tests/queries: item_id, img binary,
     every 7th row corrupted, every 11th null — exercises the error paths."""
@@ -746,55 +866,127 @@ def synthetic_media_df(spark, n: int = 64) -> DataFrame:
 
 _BAD = "(i % 11 = 10 OR i % 7 = 6)"  # null blob OR corrupted magic
 
+# closed-form properties of synthetic_real_media_df (see its docstring):
+# every 11th row null, every 13th junk (24 bytes), else real wire bytes of
+# format i%6 padded to exactly 1024 bytes
+_RBAD = "(i % 11 = 10 OR (i % 11 <> 10 AND i % 13 = 12))"
+_REAL_ROWS = (
+    "SELECT i, (i % 11 = 10) AS rnull, "
+    "(i % 11 <> 10 AND i % 13 = 12) AS rjunk, "
+    "i % 6 AS fmt, 6 + 2 * (i % 5) AS w, 4 + (i % 9) AS h, "
+    "30 + (i * 7) % 190 AS v FROM range(64) t(i)"
+)
+_REAL_META = (
+    f"SELECT CAST(i AS BIGINT) AS item_id, "
+    f"CAST(CASE WHEN rnull OR rjunk THEN 0 ELSE w END AS INTEGER) AS width, "
+    f"CAST(CASE WHEN rnull OR rjunk THEN 0 ELSE h END AS INTEGER) AS height, "
+    f"CAST(CASE WHEN rnull OR rjunk THEN 0 WHEN fmt IN (0, 5) THEN 1 "
+    f"ELSE 3 END AS INTEGER) AS channels, "
+    f"CAST(CASE WHEN rnull THEN 0 WHEN rjunk THEN 24 "
+    f"ELSE 1024 END AS BIGINT) AS n_bytes, "
+    f"NOT (rnull OR rjunk) AS valid FROM realrows"
+)
+
+
+@F.pandas_udf(IMAGE_META)
+def image_meta_real_udf(blob: pd.Series) -> pd.DataFrame:
+    return decode_image_batch(blob, decoder="real")
+
 
 @q(
     "image_meta",
-    f"SELECT CAST(i AS BIGINT) AS item_id, "
+    # three tagged legs: the fake tier (closed-form IMG1 payloads), the
+    # real HEADER-ONLY walk (IHDR/SOF/GIF/BMP header parsers), and the
+    # real FULL-PIXEL decode (dims must come out of the actual
+    # inflate/LZW/entropy pipelines) — one oracle states all three
+    f"WITH fake AS (SELECT CAST(i AS BIGINT) AS item_id, "
     f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 8 + i % 16 END AS INTEGER) AS width, "
     f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 6 + i % 9 END AS INTEGER) AS height, "
     f"CAST(CASE WHEN {_BAD} THEN 0 ELSE 1 + i % 3 END AS INTEGER) AS channels, "
     f"CAST(CASE WHEN i % 11 = 10 THEN 0 WHEN i % 7 = 6 THEN 20 "
     f"ELSE 9 + (8 + i % 16) * (6 + i % 9) * (1 + i % 3) END AS BIGINT) AS n_bytes, "
-    f"NOT {_BAD} AS valid FROM range(64) t(i)",
+    f"NOT {_BAD} AS valid FROM range(64) t(i)), "
+    f"realrows AS ({_REAL_ROWS}), realmeta AS ({_REAL_META}) "
+    f"SELECT *, 'fake' AS tier FROM fake "
+    f"UNION ALL SELECT *, 'real_hdr' AS tier FROM realmeta "
+    f"UNION ALL SELECT *, 'real_px' AS tier FROM realmeta",
 )
 def image_meta(spark, sf_dir):
     media = synthetic_media_df(spark, 64)
-    return media.select("item_id", image_meta_udf("img").alias("m")).select(
+    fake = media.select("item_id", image_meta_udf("img").alias("m")).select(
         "item_id", "m.width", "m.height", "m.channels", "m.n_bytes", "m.valid"
-    )
+    ).withColumn("tier", F.lit("fake"))
+    real = synthetic_real_media_df(spark, 64)
+    hdr = real.select(
+        "item_id", image_meta_real_udf("img").alias("m")
+    ).select(
+        "item_id", "m.width", "m.height", "m.channels", "m.n_bytes", "m.valid"
+    ).withColumn("tier", F.lit("real_hdr"))
+    px = real_decode_profile(real).select(
+        "item_id", "width", "height", "channels", "n_bytes", "valid"
+    ).withColumn("tier", F.lit("real_px"))
+    return fake.unionByName(hdr).unionByName(px)
 
 
 @q(
     "image_features",
-    # closed-form stats of the byte ramp arange(n) % 251 (n = w*h*c): with
-    # q = n // 251 full cycles and r = n % 251 remainder, sum = q*31375 +
-    # r(r-1)/2 and sum-of-squares = q*5239625 + (r-1)r(2r-1)/6 — exact
-    # integers, so sum/n and ssq/n - mean² are the IDENTICAL float64 ops the
-    # Spark kernel performs (integer sums < 2^53 are exact in both engines)
+    # fake leg: closed-form stats of the byte ramp arange(n) % 251
+    # (n = w*h*c): with q = n // 251 full cycles and r = n % 251 remainder,
+    # sum = q*31375 + r(r-1)/2 and sum-of-squares = q*5239625 +
+    # (r-1)r(2r-1)/6 — exact integers, so sum/n and ssq/n - mean² are the
+    # IDENTICAL float64 ops the Spark kernel performs (integer sums < 2^53
+    # are exact in both engines).
+    # real leg: the checkerboard v/v+17 over an even pixel count makes
+    # mean = v+8.5 / std = 8.5 EXACT float64 rationals (every intermediate
+    # numpy sum is a multiple of 1/4 below 2^53; the final divisions are
+    # exact); JPEG rows are constant v (bit-exact DC-only roundtrip), so
+    # the comparison is exact equality, not a tolerance.
     f"WITH items AS (SELECT i, CASE WHEN {_BAD} THEN 0 "
     "ELSE (8 + i % 16) * (6 + i % 9) * (1 + i % 3) END AS n FROM range(64) t(i)), "
     "c AS (SELECT i, n, n // 251 AS q, n % 251 AS r FROM items), "
     "s AS (SELECT i, n, "
     "CASE WHEN n = 0 THEN 0.0 ELSE (q*31375 + (r*(r-1))//2) * 1.0 / n END AS m, "
     "CASE WHEN n = 0 THEN 0.0 "
-    "ELSE (q*5239625 + ((r-1)*r*(2*r-1))//6) * 1.0 / n END AS msq FROM c) "
+    "ELSE (q*5239625 + ((r-1)*r*(2*r-1))//6) * 1.0 / n END AS msq FROM c), "
+    f"realrows AS ({_REAL_ROWS}) "
     "SELECT CAST(i AS BIGINT) AS item_id, round(m, 4) AS f_mean, "
     "round(sqrt(greatest(msq - m * m, 0.0)), 4) AS f_std, 0.0 AS f_min, "
     "round(CASE WHEN n = 0 THEN 0.0 WHEN n >= 251 THEN 250.0 "
-    "ELSE n - 1.0 END, 4) AS f_max FROM s",
+    "ELSE n - 1.0 END, 4) AS f_max, 'fake' AS tier FROM s "
+    "UNION ALL SELECT CAST(i AS BIGINT) AS item_id, "
+    "round(CASE WHEN rnull OR rjunk THEN 0.0 WHEN fmt = 5 "
+    "THEN CAST(v AS DOUBLE) ELSE v + 8.5 END, 4) AS f_mean, "
+    "round(CASE WHEN rnull OR rjunk OR fmt = 5 THEN 0.0 "
+    "ELSE 8.5 END, 4) AS f_std, "
+    "round(CASE WHEN rnull OR rjunk THEN 0.0 "
+    "ELSE CAST(v AS DOUBLE) END, 4) AS f_min, "
+    "round(CASE WHEN rnull OR rjunk THEN 0.0 WHEN fmt = 5 "
+    "THEN CAST(v AS DOUBLE) ELSE CAST(v + 17 AS DOUBLE) END, 4) AS f_max, "
+    "'real' AS tier FROM realrows",
 )
 def image_features(spark, sf_dir):
     """Feature-extraction plumbing as a first-class contract query: binary →
-    fixed-width vector, batch-vectorized (the embedding-model batch shape)."""
+    fixed-width vector, batch-vectorized (the embedding-model batch shape).
+    Two tagged legs: the fake tier's reduceat kernel over IMG1 payloads,
+    and the REAL tier — statistics of pixels that came through the
+    from-scratch PNG/GIF/BMP/JPEG decoders, value-checked exactly."""
     media = synthetic_media_df(spark, 64)
     feats = mean_pixel_features(media)
-    return feats.select(
+    fake = feats.select(
         "item_id",
         F.round(F.element_at("feat", 1), 4).alias("f_mean"),
         F.round(F.element_at("feat", 2), 4).alias("f_std"),
         F.round(F.element_at("feat", 3), 4).alias("f_min"),
         F.round(F.element_at("feat", 4), 4).alias("f_max"),
-    )
+    ).withColumn("tier", F.lit("fake"))
+    real = real_decode_profile(synthetic_real_media_df(spark, 64)).select(
+        "item_id",
+        F.round("f_mean", 4).alias("f_mean"),
+        F.round("f_std", 4).alias("f_std"),
+        F.round("f_min", 4).alias("f_min"),
+        F.round("f_max", 4).alias("f_max"),
+    ).withColumn("tier", F.lit("real"))
+    return fake.unionByName(real)
 
 
 # ---------------------------------------------------------------------------
