@@ -40,6 +40,7 @@ HTML→text spec (pinned):
 from __future__ import annotations
 
 import re
+from html.entities import html5 as _html5_entities
 
 import numpy as np
 import pandas as pd
@@ -299,15 +300,15 @@ _SCRIPT_STYLE_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I
 _TAG_RE = re.compile(r"<[^>]*>")
 _ENT_HEX_RE = re.compile(r"&#[xX]([0-9a-fA-F]{1,6});")
 _ENT_DEC_RE = re.compile(r"&#([0-9]{1,7});")
-_ENT_NAMED_RE = re.compile(r"&(amp|lt|gt|quot|apos|nbsp);")
+# full WHATWG HTML5 named-entity set via the stdlib table (pinned,
+# version-stable — the html5 dict is frozen in CPython). Only the
+# unambiguous ';'-terminated forms are decoded (every such name is
+# alphanumeric, ≤31 chars); unknown names and legacy semicolon-less
+# forms stay literal, matching the extractor's conservative contract.
 _NAMED_ENTITIES = {
-    "amp": "&",
-    "lt": "<",
-    "gt": ">",
-    "quot": '"',
-    "apos": "'",
-    "nbsp": "\xa0",
+    k[:-1]: v for k, v in _html5_entities.items() if k.endswith(";")
 }
+_ENT_NAMED_RE = re.compile(r"&([a-zA-Z][a-zA-Z0-9]{0,31});")
 _WS_RE = re.compile(r"\s+")
 
 
@@ -333,7 +334,11 @@ def extract_text_series(html: pd.Series) -> pd.Series:
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_ENT_HEX_RE, lambda m: _safe_chr(int(m.group(1), 16)), regex=True)
     s = s.str.replace(_ENT_DEC_RE, lambda m: _safe_chr(int(m.group(1))), regex=True)
-    s = s.str.replace(_ENT_NAMED_RE, lambda m: _NAMED_ENTITIES[m.group(1)], regex=True)
+    s = s.str.replace(
+        _ENT_NAMED_RE,
+        lambda m: _NAMED_ENTITIES.get(m.group(1), m.group(0)),
+        regex=True,
+    )
     s = s.str.replace("\xa0", " ", regex=False)
     s = s.str.replace(_WS_RE, " ", regex=True).str.strip()
     return s

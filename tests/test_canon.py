@@ -177,6 +177,9 @@ def test_crawl_delay_series():
 # pass-through must be byte-identical to the full kernel on EVERY input
 # ---------------------------------------------------------------------------
 
+import re  # noqa: E402
+from html.entities import html5 as _html5_table  # noqa: E402
+
 from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 from spiderspark.canon import (  # noqa: E402
@@ -291,3 +294,30 @@ def test_fast_path_parity_caseport_mix():
         "HTTP://-h.example/p",               # leading hyphen host → full kernel
         "HTTPS://A/p",                       # single-char host → tier 2
     ])
+
+
+def test_extract_text_full_html5_entities():
+    """The named-entity pass covers the complete WHATWG ';'-terminated
+    table (stdlib html.entities.html5), not a hand-picked subset; unknown
+    names and semicolon-less legacy forms stay literal."""
+    assert extract_text("a &mdash; b") == "a — b"
+    assert extract_text("caf&eacute;") == "caf\xe9"
+    assert extract_text("&CounterClockwiseContourIntegral;") == "∳"
+    # unknown name: kept raw
+    assert extract_text("&notanentity;") == "&notanentity;"
+    # legacy semicolon-less form: NOT decoded (unambiguous subset only)
+    assert extract_text("x &amp y") == "x &amp y"
+    # double-encoded: single pass, no re-decode
+    assert extract_text("&amp;lt;") == "&lt;"
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(st.sampled_from(sorted(k for k in _html5_table if k.endswith(";"))))
+def test_extract_text_html5_property(name):
+    """Every ';'-terminated entity in the stdlib table decodes to exactly
+    its replacement (modulo the extractor's pinned NBSP→space and
+    whitespace collapse), embedded in arbitrary surrounding text."""
+    expected = _html5_table[name].replace("\xa0", " ")
+    out = extract_text(f"pre &{name} post")
+    want = re.sub(r"\s+", " ", f"pre {expected} post").strip()
+    assert out == want
