@@ -8,7 +8,6 @@ ones register DuckDB oracles, the heuristic ones register rows-only checks.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -53,41 +52,22 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# language-ID (n-gram heuristic; vectorized pandas UDF — rows-only oracle)
+# language-ID (character-trigram profiles — see langprof.py; Arrow-batched
+# pandas UDF on the engine side, the same pinned profile table inlined as a
+# SQL VALUES list on the oracle side)
 # ---------------------------------------------------------------------------
-
-_LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    # tiny public stopword sets; enough for a deterministic heuristic
-    "en": ("the", "and", "of", "to", "is"),
-    "de": ("der", "die", "und", "ist", "das"),
-    "fr": ("le", "la", "et", "les", "est"),
-    "es": ("el", "la", "los", "es", "de"),
-}
 
 
 @F.pandas_udf(T.StringType())
 def langid_udf(text: pd.Series) -> pd.Series:
-    """Vectorized marker-count heuristic; CJK codepoint share → zh.
+    """Cavnar–Trenkle-style trigram-profile language ID (langprof.py).
 
-    ``re.ASCII`` pins ``\\b`` to the ASCII word chars [A-Za-z0-9_] — the
-    semantics DuckDB's RE2 oracle uses unconditionally — so a marker
-    substring abutting an accented letter (e.g. 'la' in 'laïque') counts
-    identically on both sides for non-ASCII text."""
-    import re
+    Integer scoring against the pinned ``PROFILE_ROWS`` table, so the
+    decision procedure is bit-exactly reproducible by the DuckDB oracle
+    (``langid_oracle_sql``) — no float argmax flips, no corpus files."""
+    from .langprof import langid_series
 
-    s = text.fillna("")
-    lower = s.str.lower()
-    scores = {}
-    for lang, markers in _LANG_MARKERS.items():
-        total = None
-        for m in markers:
-            c = lower.str.count(rf"\b{m}\b", flags=re.ASCII)
-            total = c if total is None else total + c
-        scores[lang] = total
-    score_df = pd.DataFrame(scores)
-    cjk = s.str.count(r"[一-鿿]")
-    out = score_df.idxmax(axis=1).where(score_df.max(axis=1) > 0, "und")
-    return out.mask(cjk > (s.str.len().clip(lower=1) * 0.2), "zh")
+    return langid_series(text)
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -140,56 +120,33 @@ def text_quality(spark, sf_dir):
     )
 
 
-def _marker_count_sql(markers: tuple[str, ...]) -> str:
-    """DuckDB count of word-bounded marker tokens — equals the kernel's sum
-    of per-marker counts because a \\b-bounded token matches at most one
-    marker (the markers are distinct words)."""
-    alt = "|".join(markers)
-    return rf"len(regexp_extract_all(lower(coalesce(text, '')), '\b(?:{alt})\b'))"
+from .langprof import langid_oracle_sql, langid_sql_case, langid_sql_ctes  # noqa: E402
 
-
-_LANGID_CASE = (
-    "CASE WHEN cjk > 0.2 * greatest(length(coalesce(text, '')), 1) THEN 'zh' "
-    "WHEN greatest(en, de, fr, es) = 0 THEN 'und' "
-    # idxmax tie-break = first max in the kernel's column order en,de,fr,es
-    "WHEN en >= de AND en >= fr AND en >= es THEN 'en' "
-    "WHEN de >= fr AND de >= es THEN 'de' "
-    "WHEN fr >= es THEN 'fr' ELSE 'es' END AS lang_pred "
-)
-
-_LANGID_INNER = (
-    "SELECT doc_id, text, "
-    + ", ".join(
-        f"{_marker_count_sql(markers)} AS {lang}"
-        for lang, markers in _LANG_MARKERS.items()
-    )
-    + r", len(regexp_extract_all(coalesce(text, ''), '[一-鿿]')) AS cjk "
-    "FROM documents"
-)
-
-_LANGID_SQL = f"SELECT doc_id, {_LANGID_CASE} FROM ({_LANGID_INNER})"
+_LANGID_SQL = langid_oracle_sql("documents")
 
 
 @q("langid", _LANGID_SQL)
 def langid(spark, sf_dir):
-    """The marker-count language-ID heuristic, VALUE-CHECKED: pure string
-    ops, so the whole decision procedure (per-language marker counts →
-    first-max tie-break → und floor → CJK override) is reproducible in
-    ANSI SQL over the same documents table."""
+    """Trigram-profile language ID, VALUE-CHECKED: the pinned profile
+    table is inlined as a VALUES list and the whole decision procedure
+    (per-language integer trigram scores → first-max tie-break → und
+    floor → CJK override) is restated as explode+join+CASE over the same
+    documents table (langprof.py — one source of truth for both sides)."""
     return with_langid(_t(spark, sf_dir, "documents")).select(
         "doc_id", "lang_pred"
     )
 
 
 _TEXT_PROFILE_SQL = (
-    f"SELECT doc_id, {_LANGID_CASE}, "
+    f"WITH {langid_sql_ctes('documents')} "
+    f"SELECT s.doc_id, {langid_sql_case()} AS lang_pred, "
     # fingerprint equivalence classes == canonical-text equivalence classes
     # (xxhash64 is injective modulo 2^-64 collisions — none at oracle scale).
     # Explicit whitespace class, NOT RE2's \s: the engine's Java \s is
     # [ \t\n\x0B\f\r] while RE2's \s omits vertical tab — a \x0B-bearing
     # document would land in different equivalence classes on the two sides
-    r"count(*) OVER (PARTITION BY trim(regexp_replace(text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"
-    f" AS fp_dups FROM ({_LANGID_INNER})"
+    r"count(*) OVER (PARTITION BY trim(regexp_replace(d.text, '[ \t\n\x0B\f\r]+', ' ', 'g')))"
+    " AS fp_dups FROM scores s JOIN docs d USING (doc_id)"
 )
 
 
