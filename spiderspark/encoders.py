@@ -76,10 +76,11 @@ def encode_png(
     palette: np.ndarray | None = None,
     pad_to: int | None = None,
 ) -> bytes:
-    """(h, w) gray / (h, w, 3) RGB uint8 → PNG bytes; with ``palette``
-    ((n, 3) uint8), px must be (h, w) palette indices → indexed-color PNG.
-    ``pad_to`` inserts an ancillary private 'spAd' chunk before IEND so the
-    total file length is exactly ``pad_to`` (decoders must skip it)."""
+    """(h, w) gray / (h, w, 2) gray+alpha / (h, w, 3) RGB / (h, w, 4) RGBA
+    uint8 → PNG bytes; with ``palette`` ((n, 3) uint8), px must be (h, w)
+    palette indices → indexed-color PNG. ``pad_to`` inserts an ancillary
+    private 'spAd' chunk before IEND so the total file length is exactly
+    ``pad_to`` (decoders must skip it)."""
     if palette is not None:
         ctype, spp = 3, 1
         body = px[:, :, None]
@@ -87,7 +88,9 @@ def encode_png(
         ctype, spp = 0, 1
         body = px[:, :, None]
     else:
-        ctype, spp = 2, px.shape[2]
+        # sample count → PNG color type (W3C PNG §11.2.2)
+        ctype = {2: 4, 3: 2, 4: 6}[px.shape[2]]
+        spp = px.shape[2]
         body = px
     h, w = px.shape[:2]
     ihdr = _png_chunk(
@@ -213,6 +216,97 @@ def encode_gif(
             raise ValueError("pad_to smaller than natural GIF size")
         out += b"\x00" * (pad_to - len(out))
     return out
+
+
+def _gif_color_table(palette: np.ndarray) -> tuple[bytes, int]:
+    """→ (table bytes padded to a power of two, size-field bits-1)."""
+    n_pal = len(palette)
+    bits = max(1, (n_pal - 1).bit_length())
+    tbl = np.zeros(((1 << bits), 3), dtype=np.uint8)
+    tbl[:n_pal] = palette
+    return tbl.tobytes(), bits
+
+
+def _gif_image_blocks(indices: np.ndarray, n_colors: int) -> bytes:
+    """LZW-encode one frame's (h, w) indices → min-code byte + sub-blocks."""
+    mcs = max(2, max(1, (n_colors - 1).bit_length()))
+    lzw = gif_lzw_encode(indices.astype(np.uint8).tobytes(), mcs)
+    blocks = bytearray([mcs])
+    for off in range(0, len(lzw), 255):
+        part = lzw[off : off + 255]
+        blocks.append(len(part))
+        blocks += part
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def encode_gif_animation(
+    frames: list[dict],
+    palette: np.ndarray,
+    screen: tuple[int, int] | None = None,
+) -> bytes:
+    """Multi-frame GIF89a with per-frame Graphic Control Extensions — the
+    spec-inverse forward encoder for the animation decoder
+    (:func:`spiderspark.multimodal.gif_frames`).
+
+    ``palette``: (n, 3) uint8 global color table. ``screen``: logical
+    screen (w, h); defaults to the bounding box of all frame rects.
+    Each frame dict:
+
+    - ``indices``: (h, w) uint8 palette indices (required)
+    - ``left``/``top``: frame rect offset (default 0)
+    - ``disposal``: GCE disposal method 0..3 (default 0)
+    - ``delay_cs``: GCE delay in centiseconds (default 4)
+    - ``transparent``: transparent palette index or None (default)
+    - ``interlace``: store rows in 4-pass interlaced order (default False)
+    - ``palette``: (n, 3) uint8 LOCAL color table overriding the global
+      one for this frame (default None)
+    """
+    if screen is None:
+        sw = max(f.get("left", 0) + f["indices"].shape[1] for f in frames)
+        sh = max(f.get("top", 0) + f["indices"].shape[0] for f in frames)
+    else:
+        sw, sh = screen
+    gct, gbits = _gif_color_table(palette)
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", sw, sh, 0x80 | (gbits - 1), 0, 0)
+    )
+    out += gct
+    for f in frames:
+        idx = f["indices"]
+        h, w = idx.shape
+        left, top = f.get("left", 0), f.get("top", 0)
+        transparent = f.get("transparent")
+        gflags = (f.get("disposal", 0) & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            gflags |= 0x01
+            tidx = transparent
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gflags, f.get("delay_cs", 4), tidx
+        ) + b"\x00"
+        local = f.get("palette")
+        iflags = 0x40 if f.get("interlace", False) else 0
+        table_bits = gbits
+        lct = b""
+        if local is not None:
+            lct, lbits = _gif_color_table(local)
+            iflags |= 0x80 | (lbits - 1)
+            table_bits = lbits
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, iflags)
+        out += lct
+        body = idx
+        if f.get("interlace", False):
+            order = (
+                list(range(0, h, 8))
+                + list(range(4, h, 8))
+                + list(range(2, h, 4))
+                + list(range(1, h, 2))
+            )
+            body = idx[order]
+        out += _gif_image_blocks(body, 1 << table_bits)
+    out += b"\x3b"
+    return bytes(out)
 
 
 # --- BMP --------------------------------------------------------------------

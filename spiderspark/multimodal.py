@@ -11,7 +11,9 @@ Decoders, by tier:
   tRNS alpha; all five scanline filters, multi-IDAT, non-interlaced AND
   Adam7-interlaced, CRC-checked; zlib inflate via the stdlib),
   GIF87a/89a (from-scratch LZW, global/local color tables, 4-pass
-  interlacing, GCE transparency; first frame of animations),
+  interlacing, GCE transparency; single-image decode returns the first
+  frame, and animations decode fully — every frame, with disposal-method
+  0/1/2/3 compositing — through :func:`gif_frames` / ``sample_frames``),
   uncompressed 24-bit BMP
   (BI_RGB, bottom-up or top-down, 4-byte row padding), and huffman-DCT
   JPEG (see jpeg.py: baseline SOF0/SOF1 AND progressive SOF2 with
@@ -39,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from . import jpeg as _jpeg
+from .encoders import encode_png as _encode_png
 from .queries import q, _t
 
 IMAGE_META = T.StructType(
@@ -386,11 +389,12 @@ def _gif_frame_header(buf: bytes, pos: int, gct, transparent):
 
 def _decode_gif(buf: bytes):
     """→ (width, height, channels, pixels) for the FIRST frame of a
-    GIF87a/GIF89a stream (the crawl-sweep semantics for animations; every
-    later frame needs disposal compositing a training pipeline rarely
-    wants). Global/local color tables, 4-pass interlacing, and GCE
-    transparency (transparent index → RGBA with alpha 0) supported; the
-    LZW stream must cover the frame exactly."""
+    GIF87a/GIF89a stream (the crawl-sweep semantics for still images and
+    the cheap single-image path; animations with disposal compositing go
+    through :func:`gif_frames` / the ``sample_frames`` seam). Global/local
+    color tables, 4-pass interlacing, and GCE transparency (transparent
+    index → RGBA with alpha 0) supported; the LZW stream must cover the
+    frame exactly."""
     pos, gct, transparent = _gif_walk_to_frame(buf)
     w, h, ch, interlaced, table, pos = _gif_frame_header(
         buf, pos, gct, transparent
@@ -411,14 +415,7 @@ def _decode_gif(buf: bytes):
         pos += sz
     idx = _gif_lzw_decode(bytes(data), min_code, w * h).reshape(h, w)
     if interlaced:
-        # 4-pass row order: stored row i is display row order[i]
-        order = (
-            list(range(0, h, 8)) + list(range(4, h, 8))
-            + list(range(2, h, 4)) + list(range(1, h, 2))
-        )
-        deinter = np.zeros_like(idx)
-        deinter[order] = idx
-        idx = deinter
+        idx = _gif_deinterlace(idx)
     if int(idx.max()) >= table.shape[0]:
         raise ValueError("color index out of range")
     lut = table
@@ -428,6 +425,181 @@ def _decode_gif(buf: bytes):
             alpha[transparent] = 0
         lut = np.concatenate([table, alpha[:, None]], axis=1)
     return w, h, ch, lut[idx]
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    """Invert the 4-pass interlaced row order: stored row i → display
+    row order[i]."""
+    h = idx.shape[0]
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    out = np.zeros_like(idx)
+    out[order] = idx
+    return out
+
+
+def _gif_iter_frames(buf: bytes):
+    """STRUCTURAL walk of every frame in a GIF stream — no LZW decode, no
+    pixel allocation. Yields one dict per image descriptor with the frame
+    rect, its color table, the preceding Graphic Control Extension state
+    (disposal method, delay in centiseconds, transparent index — GIF89a
+    §23: one GCE governs the single following image, then resets), and
+    the raw concatenated LZW bytes + minimum code size. Counting frames
+    is ``sum(1 for _ in _gif_iter_frames(b))`` at header-walk cost.
+    Raises ValueError on malformation (IndexError on truncation — callers
+    map both to invalid)."""
+    if buf[:6] not in _GIF_MAGICS:
+        raise ValueError("not GIF")
+    if len(buf) < 13:
+        raise ValueError("truncated GIF")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + n * 3 > len(buf):
+            raise ValueError("truncated color table")
+        gct = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    gce = (0, 0, None)  # (disposal, delay_cs, transparent)
+    while True:
+        b0 = buf[pos]  # IndexError on truncation → caller maps to invalid
+        pos += 1
+        if b0 == 0x3B:
+            return
+        if b0 == 0x21:
+            label = buf[pos]
+            pos += 1
+            first = True
+            while True:
+                sz = buf[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(buf):
+                    raise ValueError("truncated sub-block")
+                if label == 0xF9 and first and sz >= 4:
+                    gflags, delay, tidx = struct.unpack_from("<BHB", buf, pos)
+                    gce = (
+                        (gflags >> 2) & 0x07,
+                        delay,
+                        tidx if gflags & 0x01 else None,
+                    )
+                first = False
+                pos += sz
+        elif b0 == 0x2C:
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", buf, pos)
+            pos += 9
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                if pos + n * 3 > len(buf):
+                    raise ValueError("truncated color table")
+                table = np.frombuffer(buf, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            if table is None:
+                raise ValueError("no color table")
+            if not w or not h:
+                raise ValueError("bad dimensions")
+            min_code = buf[pos]
+            pos += 1
+            if not (2 <= min_code <= 8):
+                raise ValueError("bad LZW minimum code size")
+            data = bytearray()
+            while True:
+                sz = buf[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                if pos + sz > len(buf):
+                    raise ValueError("truncated data sub-block")
+                data += buf[pos : pos + sz]
+                pos += sz
+            disposal, delay_cs, transparent = gce
+            yield {
+                "screen": (sw, sh),
+                "left": left, "top": top, "w": w, "h": h,
+                "interlaced": bool(iflags & 0x40),
+                "table": table,
+                "disposal": disposal,
+                "delay_cs": delay_cs,
+                "transparent": transparent,
+                "min_code": min_code,
+                "lzw": bytes(data),
+            }
+            gce = (0, 0, None)
+        else:
+            raise ValueError("unknown GIF block")
+
+
+def gif_frames(buf: bytes):
+    """Decode EVERY frame of a (possibly animated) GIF with full disposal
+    compositing — the animation counterpart of :func:`_decode_gif`.
+    Lazily yields ``(frame_idx, rgba)`` where ``rgba`` is the (sh, sw, 4)
+    uint8 snapshot of the LOGICAL SCREEN after the frame is drawn, so a
+    sampling caller (``sample_frames``) can stop paying LZW cost at its
+    last kept frame.
+
+    Pinned compositing semantics (GIF89a §23 Graphic Control Extension):
+
+    - the canvas starts fully transparent (0, 0, 0, 0);
+    - a frame's transparent-index pixels leave the canvas untouched; all
+      other pixels are written opaque (alpha 255);
+    - disposal 0 (unspecified) and 1 (do not dispose): the drawn frame
+      stays on the canvas;
+    - disposal 2 (restore to background): the frame's RECT is cleared to
+      transparent after the snapshot — the universal renderer convention
+      (browsers, Pillow); the spec's literal 'background color' predates
+      transparency and no modern renderer paints it;
+    - disposal 3 (restore to previous): the canvas reverts to its
+      pre-frame state after the snapshot.
+
+    Raises ValueError on malformation, a frame rect outside the logical
+    screen, or a canvas/frame over the shared pixel budget; raises on an
+    image-less stream only at first iteration.
+    """
+    canvas = None
+    for i, fr in enumerate(_gif_iter_frames(buf)):
+        if canvas is None:
+            sw, sh = fr["screen"]
+            if not sw or not sh:
+                raise ValueError("bad logical screen")
+            if sw * sh * 4 > _MAX_PIXEL_BYTES:
+                raise ValueError("canvas exceeds decode pixel budget")
+            canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+        w, h, left, top = fr["w"], fr["h"], fr["left"], fr["top"]
+        if left + w > canvas.shape[1] or top + h > canvas.shape[0]:
+            raise ValueError("frame rect outside logical screen")
+        if w * h * 4 > _MAX_PIXEL_BYTES:
+            raise ValueError("image exceeds decode pixel budget")
+        idx = _gif_lzw_decode(fr["lzw"], fr["min_code"], w * h).reshape(h, w)
+        if fr["interlaced"]:
+            idx = _gif_deinterlace(idx)
+        table = fr["table"]
+        if int(idx.max()) >= table.shape[0]:
+            raise ValueError("color index out of range")
+        saved = (
+            canvas[top : top + h, left : left + w].copy()
+            if fr["disposal"] == 3
+            else None
+        )
+        region = canvas[top : top + h, left : left + w]
+        if fr["transparent"] is None:
+            region[:, :, :3] = table[idx]
+            region[:, :, 3] = 255
+        else:
+            mask = idx != fr["transparent"]
+            region[mask, :3] = table[idx][mask]
+            region[mask, 3] = 255
+        yield i, canvas.copy()
+        if fr["disposal"] == 2:
+            canvas[top : top + h, left : left + w] = 0
+        elif fr["disposal"] == 3:
+            canvas[top : top + h, left : left + w] = saved
+    if canvas is None:
+        raise ValueError("no image data")
 
 
 def image_header_meta(blob) -> tuple:
@@ -1341,7 +1513,19 @@ def sample_frames(
     (frame_idx ≡ 0 mod every_n, optionally capped), each an independently
     decodable image blob — feeds decode/resize/features unchanged.
     mapInPandas emits the 1→N expansion without any explode shuffle; an
-    undecodable container yields zero rows for that item."""
+    undecodable container yields zero rows for that item.
+
+    Two container formats, sniffed by magic:
+
+    - ``VID1`` (the documented synthetic container): kept frames are the
+      embedded blobs verbatim; ``fps`` from the header.
+    - animated GIF87a/GIF89a: frames are disposal-composited logical-screen
+      snapshots (:func:`gif_frames`), re-encoded as RGBA PNG so they feed
+      the image pipeline unchanged; ``n_frames`` counts the stream's image
+      descriptors (a structural walk — no LZW cost for skipped tails);
+      ``fps`` = round(100 / first frame's GCE delay_cs), 0 if no delay.
+      Decoding stops at the last KEPT frame — compositing forces decoding
+      every frame up to it, but never past it."""
     if every_n < 1:
         # validate on the DRIVER: every_n=0 would otherwise surface as an
         # opaque ZeroDivisionError inside an executor task
@@ -1363,6 +1547,34 @@ def sample_frames(
                 if b is None:
                     continue
                 bb = bytes(b)
+                if bb[:6] in _GIF_MAGICS:
+                    try:
+                        n_frames = sum(1 for _ in _gif_iter_frames(bb))
+                        if n_frames == 0:
+                            continue
+                        first = next(_gif_iter_frames(bb))
+                        d = first["delay_cs"]
+                        fps = int(round(100.0 / d)) if d else 0
+                        kept = 0
+                        for k, rgba in gif_frames(bb):
+                            if k % every_n == 0 and (
+                                max_frames is None or kept < max_frames
+                            ):
+                                ids.append(i)
+                                idxs.append(k)
+                                totals.append(n_frames)
+                                fpss.append(fps)
+                                blobs.append(_encode_png(rgba))
+                                kept += 1
+                            if max_frames is not None and kept >= max_frames:
+                                break
+                    except (ValueError, IndexError):
+                        # structurally malformed → zero rows (the count
+                        # walk raises before anything is kept); a decode-
+                        # level fault mid-animation keeps frames already
+                        # emitted, like VID1's truncation behavior
+                        continue
+                    continue
                 if bb[:4] != _VMAGIC or len(bb) < 7:
                     continue
                 # struct.unpack_from, not _VHEADER: the nested UDF is

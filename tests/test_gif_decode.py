@@ -328,3 +328,284 @@ def test_gif_through_spark_features(spark):
         feats[0], [ref.mean(), ref.std(), ref.min(), ref.max()], rtol=1e-12
     )
     assert feats[1] == [0.0, 0.0, 0.0, 0.0]
+
+
+# --- animation: disposal-composited multi-frame decode ----------------------
+#
+# spec-inverse validation: an INDEPENDENT forward encoder (below, built on
+# this file's own _lzw_encode) and an INDEPENDENT per-pixel compositor
+# oracle, both checked against spiderspark.multimodal.gif_frames.
+
+from spiderspark.multimodal import _gif_iter_frames, gif_frames  # noqa: E402
+
+
+def make_gif_animation(specs, palette, screen):
+    """Test-side animation encoder: GIF89a + one GCE per frame."""
+    n = len(palette)
+    bits = max(1, (n - 1).bit_length())
+    pad = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pad[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen[0], screen[1], 0x80 | (bits - 1), 0, 0)
+    out += pad.tobytes()
+    for f in specs:
+        idx = f["indices"]
+        fh, fw = idx.shape
+        gflags = (f.get("disposal", 0) & 7) << 2
+        tr = f.get("transparent")
+        tidx = 0
+        if tr is not None:
+            gflags |= 1
+            tidx = tr
+        out += bytes([0x21, 0xF9, 4, gflags])
+        out += struct.pack("<H", f.get("delay_cs", 4)) + bytes([tidx, 0])
+        iflags = 0
+        body = idx
+        lct = b""
+        tbits = bits
+        if "palette" in f:
+            lp = f["palette"]
+            lbits = max(1, (len(lp) - 1).bit_length())
+            lpad = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            lpad[: len(lp)] = lp
+            lct = lpad.tobytes()
+            iflags |= 0x80 | (lbits - 1)
+            tbits = lbits
+        if f.get("interlace"):
+            iflags |= 0x40
+            body = idx[_GIF_INTERLACE_ORDER(fh)]
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), fw, fh, iflags
+        )
+        out += lct
+        mc = max(2, tbits)
+        out += bytes([mc]) + _sub_blocks(_lzw_encode(body.tobytes(), mc))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def composite_oracle(specs, palette, screen):
+    """Per-pixel pure-Python compositor (independent of the engine's
+    vectorized one): GIF89a §23 disposal semantics, transparent canvas."""
+    sw, sh = screen
+    canvas = [[(0, 0, 0, 0)] * sw for _ in range(sh)]
+    snaps = []
+    for f in specs:
+        idx = f["indices"]
+        left, top = f.get("left", 0), f.get("top", 0)
+        pal = f.get("palette", palette)
+        tr = f.get("transparent")
+        before = [row[:] for row in canvas]
+        for y in range(idx.shape[0]):
+            for x in range(idx.shape[1]):
+                v = int(idx[y, x])
+                if tr is not None and v == tr:
+                    continue
+                r, g, b = (int(c) for c in pal[v])
+                canvas[top + y][left + x] = (r, g, b, 255)
+        snaps.append(np.array(canvas, dtype=np.uint8))
+        d = f.get("disposal", 0)
+        if d == 2:
+            for y in range(idx.shape[0]):
+                for x in range(idx.shape[1]):
+                    canvas[top + y][left + x] = (0, 0, 0, 0)
+        elif d == 3:
+            canvas = before
+    return snaps
+
+
+def _anim_fixture():
+    palette = np.array(
+        [[250, 10, 10], [10, 250, 10], [10, 10, 250], [200, 200, 0]],
+        dtype=np.uint8,
+    )
+    base = np.zeros((10, 12), dtype=np.uint8)  # full-screen frame, color 0
+    patch = np.full((4, 5), 1, dtype=np.uint8)  # small overlay, color 1
+    return palette, base, patch
+
+
+def _check(specs, palette, screen):
+    blob = make_gif_animation(specs, palette, screen)
+    got = list(gif_frames(blob))
+    want = composite_oracle(specs, palette, screen)
+    assert [i for i, _ in got] == list(range(len(specs)))
+    for (_, g), w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    return blob
+
+
+def test_gif_animation_disposal_do_not_dispose():
+    palette, base, patch = _anim_fixture()
+    _check(
+        [
+            {"indices": base, "disposal": 1},
+            {"indices": patch, "left": 3, "top": 2, "disposal": 1},
+            {"indices": patch + 1, "left": 7, "top": 5, "disposal": 1},
+        ],
+        palette,
+        (12, 10),
+    )
+
+
+def test_gif_animation_disposal_background_clears_rect():
+    palette, base, patch = _anim_fixture()
+    specs = [
+        {"indices": base, "disposal": 1},
+        {"indices": patch, "left": 3, "top": 2, "disposal": 2},
+        {"indices": patch + 2, "left": 0, "top": 0, "disposal": 1},
+    ]
+    blob = _check(specs, palette, (12, 10))
+    # after frame 2's disposal the 4x5 rect at (3,2) is TRANSPARENT in
+    # frame 3's snapshot wherever frame 3 didn't redraw it
+    snaps = [g for _, g in gif_frames(blob)]
+    assert (snaps[2][4, 6] == [0, 0, 0, 0]).all()  # inside cleared rect
+    assert snaps[2][9, 11][3] == 255  # untouched base pixel stays opaque
+
+
+def test_gif_animation_disposal_previous_restores():
+    palette, base, patch = _anim_fixture()
+    specs = [
+        {"indices": base, "disposal": 1},
+        {"indices": patch, "left": 3, "top": 2, "disposal": 3},
+        {"indices": patch, "left": 7, "top": 5, "disposal": 1},
+    ]
+    blob = _check(specs, palette, (12, 10))
+    snaps = [g for _, g in gif_frames(blob)]
+    # frame 3 sees the canvas as after frame 1: patch at (3,2) reverted
+    np.testing.assert_array_equal(snaps[2][3, 4], [250, 10, 10, 255])
+
+
+def test_gif_animation_disposal_unspecified_equals_do_not_dispose():
+    palette, base, patch = _anim_fixture()
+    a = make_gif_animation(
+        [{"indices": base, "disposal": 0},
+         {"indices": patch, "left": 1, "top": 1, "disposal": 0}],
+        palette, (12, 10),
+    )
+    b = make_gif_animation(
+        [{"indices": base, "disposal": 1},
+         {"indices": patch, "left": 1, "top": 1, "disposal": 1}],
+        palette, (12, 10),
+    )
+    for (_, ga), (_, gb) in zip(gif_frames(a), gif_frames(b)):
+        np.testing.assert_array_equal(ga, gb)
+
+
+def test_gif_animation_transparency_shows_through():
+    palette, base, patch = _anim_fixture()
+    holey = patch.copy()
+    holey[1:3, 1:4] = 3
+    specs = [
+        {"indices": base, "disposal": 1},
+        {"indices": holey, "left": 2, "top": 2, "transparent": 3},
+    ]
+    blob = _check(specs, palette, (12, 10))
+    snaps = [g for _, g in gif_frames(blob)]
+    # hole pixels keep frame 1's color (and stay opaque)
+    np.testing.assert_array_equal(snaps[1][3, 3], [250, 10, 10, 255])
+    np.testing.assert_array_equal(snaps[1][2, 2], [10, 250, 10, 255])
+
+
+def test_gif_animation_interlaced_and_local_palette():
+    palette, base, patch = _anim_fixture()
+    local = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    specs = [
+        {"indices": base, "disposal": 1, "interlace": True},
+        {"indices": patch % 2, "left": 3, "top": 2, "palette": local},
+    ]
+    _check(specs, palette, (12, 10))
+
+
+def test_gif_animation_engine_encoder_roundtrip():
+    """The engine-side encoders.encode_gif_animation and this file's
+    independent encoder produce streams that decode identically."""
+    from spiderspark.encoders import encode_gif_animation
+
+    palette, base, patch = _anim_fixture()
+    specs = [
+        {"indices": base, "disposal": 1},
+        {"indices": patch, "left": 3, "top": 2, "disposal": 2,
+         "transparent": 1, "delay_cs": 10},
+        {"indices": patch + 1, "left": 7, "top": 5, "disposal": 3},
+        {"indices": base // 2, "disposal": 1, "interlace": True},
+    ]
+    a = list(gif_frames(encode_gif_animation(specs, palette, (12, 10))))
+    b = list(gif_frames(make_gif_animation(specs, palette, (12, 10))))
+    assert len(a) == len(b) == 4
+    for (_, ga), (_, gb) in zip(a, b):
+        np.testing.assert_array_equal(ga, gb)
+
+
+def test_gif_animation_rect_outside_screen_raises():
+    palette, base, patch = _anim_fixture()
+    blob = make_gif_animation(
+        [{"indices": patch, "left": 9, "top": 8}], palette, (12, 10)
+    )
+    with pytest.raises(ValueError):
+        list(gif_frames(blob))
+
+
+def test_gif_iter_frames_counts_structurally():
+    palette, base, patch = _anim_fixture()
+    blob = make_gif_animation(
+        [{"indices": base}, {"indices": patch, "left": 1, "top": 1},
+         {"indices": patch, "left": 2, "top": 2}],
+        palette, (12, 10),
+    )
+    metas = list(_gif_iter_frames(blob))
+    assert len(metas) == 3
+    assert metas[0]["screen"] == (12, 10)
+    assert metas[1]["left"] == 1 and metas[1]["delay_cs"] == 4
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 2**31 - 1), n_frames=st.integers(1, 6))
+def test_gif_animation_property_random(seed, n_frames):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 9))
+    palette = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+    sw, sh = int(rng.integers(4, 20)), int(rng.integers(4, 20))
+    specs = []
+    for _ in range(n_frames):
+        fw = int(rng.integers(1, sw + 1))
+        fh = int(rng.integers(1, sh + 1))
+        spec = {
+            "indices": rng.integers(0, n, size=(fh, fw), dtype=np.uint8),
+            "left": int(rng.integers(0, sw - fw + 1)),
+            "top": int(rng.integers(0, sh - fh + 1)),
+            "disposal": int(rng.integers(0, 4)),
+            "interlace": bool(rng.integers(0, 2)),
+        }
+        if rng.integers(0, 2):
+            spec["transparent"] = int(rng.integers(0, n))
+        specs.append(spec)
+    _check(specs, palette, (sw, sh))
+
+
+def test_sample_frames_animated_gif(spark):
+    """The 1→N frame-sampling seam over an animated GIF: every_n +
+    max_frames semantics, n_frames from the structural walk, fps from the
+    first GCE delay, and every emitted blob is an independently decodable
+    RGBA PNG equal to the compositor oracle's snapshot."""
+    from spiderspark.multimodal import decode_image_real, sample_frames
+
+    palette, base, patch = _anim_fixture()
+    specs = [{"indices": base, "disposal": 1, "delay_cs": 5}] + [
+        {"indices": (patch + k) % 4, "left": k, "top": k, "disposal": 1}
+        for k in range(4)
+    ]
+    blob = make_gif_animation(specs, palette, (12, 10))
+    want = composite_oracle(specs, palette, (12, 10))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"GIF89a garbage")), (3, None)],
+        "item_id long, video binary",
+    )
+    rows = sample_frames(df, every_n=2, max_frames=2).orderBy(
+        "item_id", "frame_idx"
+    ).collect()
+    assert [(r["item_id"], r["frame_idx"]) for r in rows] == [(1, 0), (1, 2)]
+    assert all(r["n_frames"] == 5 and r["fps"] == 20 for r in rows)
+    for r in rows:
+        w, h, c, px, ok = decode_image_real(bytes(r["frame"]))
+        assert ok and (w, h, c) == (12, 10, 4)
+        np.testing.assert_array_equal(px, want[r["frame_idx"]])
