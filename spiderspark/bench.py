@@ -297,7 +297,11 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
     corpus_dir = tempfile.mkdtemp(prefix="spiderbench-pages-")
     pages_df_dist(spark, corpus_size).write.parquet(f"{corpus_dir}/pages")
     pages = spark.read.parquet(f"{corpus_dir}/pages")
-    seeds = spark.createDataFrame(seeds_pdf(2000, corpus_size), schema=SEEDS)
+    # seeds ∝ corpus (1%) so per-round work scales with input — required
+    # for the weak-scaling pair (corpus ∝ cores ⇒ fetched ∝ cores)
+    seeds = spark.createDataFrame(
+        seeds_pdf(max(200, corpus_size // 100), corpus_size), schema=SEEDS
+    )
     # SPIDERSPARK_BENCH_DURABLE=1: route state segments through bucketed
     # parquet tables (fault-tolerant mode) to measure its overhead ratio
     config = CrawlConfig(
@@ -324,6 +328,22 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
             "scheduled": n_sched,
             "fetched": n_fetch,
         }
+        # determinism digests OUTSIDE the clock (one agg each over already-
+        # materialized results): the scaling harness asserts both are
+        # parallelism-invariant — same schedule order AND byte-identical
+        # extracted text at every cluster size
+        stat["schedule_digest"] = int(
+            schedule.agg(
+                F.expr("bit_xor(xxhash64(concat(rank, ':', url_hash)))")
+            ).first()[0]
+            or 0
+        )
+        stat["text_digest"] = int(
+            log.filter(F.col("status") == "fetched")
+            .agg(F.expr("bit_xor(text_hash)"))
+            .first()[0]
+            or 0
+        )
         shuf = w.stop()
         if shuf:
             # the scale story in one number: rounds ≥ 2 shuffle O(delta +
@@ -428,7 +448,9 @@ def _steal_ticks() -> int | None:
         return None
 
 
-def _subprocess_rate(cores: int, frontier: int, crawl: bool = False) -> dict:
+def _subprocess_rate(
+    cores: int, frontier: int, crawl: bool = False, corpus: int | None = None
+) -> dict:
     """Fresh process at ``cores`` parallelism, CPU-PINNED to exactly that
     many physical CPUs (taskset). Without pinning, local[8] on a 32-CPU box
     borrows idle cores for its python UDF workers and the N-vs-4N comparison
@@ -437,7 +459,12 @@ def _subprocess_rate(cores: int, frontier: int, crawl: bool = False) -> dict:
     cmd = [sys.executable,
            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
            "--cores", str(cores), "--frontier", str(frontier)]
-    cmd += ["--crawl"] if crawl else ["--headline-only"]
+    if crawl:
+        cmd += ["--crawl"]
+        if corpus is not None:
+            cmd += ["--crawl-corpus", str(corpus)]
+    else:
+        cmd += ["--headline-only"]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     s0, t0 = _steal_ticks(), time.time()
@@ -471,10 +498,12 @@ def run_scaling(args):
     # shuffle volume — the resource a real cluster scales with node count
     # but a single box cannot) is held constant; ideal = equal wall time
     n_lo = n * lo // hi if weak else n
+    corpus = getattr(args, "crawl_corpus", None) if crawl else None
+    corpus_lo = (corpus * lo // hi if weak else corpus) if crawl else None
     runs_lo, runs_hi = [], []
     for _ in range(passes):
-        runs_lo.append(_subprocess_rate(lo, n_lo, crawl))
-        runs_hi.append(_subprocess_rate(hi, n, crawl))
+        runs_lo.append(_subprocess_rate(lo, n_lo, crawl, corpus_lo))
+        runs_hi.append(_subprocess_rate(hi, n, crawl, corpus))
     r_lo = max(runs_lo, key=lambda r: r["value"])
     r_hi = max(runs_hi, key=lambda r: r["value"])
     # rates normalize by input size, so the same formula covers both modes:
@@ -483,9 +512,17 @@ def run_scaling(args):
     if weak:
         invariant = None  # different inputs per level — digests incomparable
     elif crawl:
+        # full-round determinism across parallelism: per-round scheduled
+        # counts AND schedule digests AND extracted-text digests all equal
         invariant = (
-            len({json.dumps([p["scheduled"] for p in r["detail"]["per_round"]])
-                 for r in runs_lo + runs_hi}) == 1
+            len({
+                json.dumps([
+                    [p["scheduled"], p.get("schedule_digest"),
+                     p.get("text_digest")]
+                    for p in r["detail"]["per_round"]
+                ])
+                for r in runs_lo + runs_hi
+            }) == 1
         )
     else:
         digests = {r["detail"]["schedule_digest"] for r in runs_lo + runs_hi}
@@ -514,7 +551,68 @@ def run_scaling(args):
     print(json.dumps(result))
     if not crawl and not weak:
         _write_baseline_md(result, r_lo, r_hi)
+    elif crawl:
+        _write_crawl_scaling_md(result, r_lo, r_hi, weak)
     return result
+
+
+def _write_crawl_scaling_md(res, r_lo, r_hi, weak=False):
+    """Machine log for the FULL-crawl-round scaling pair (fetch join + P6
+    extraction + outlink discovery + state update — the heaviest Arrow
+    stages, not just the headline's schedule+dedup)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    name = "crawl_weak_scaling_last_run.md" if weak else "crawl_scaling_last_run.md"
+    path = os.path.join(root, "BENCH", name)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def row(cores, r):
+        d = r["detail"]
+        return (
+            f"| {cores} | {r['value']:,} | {d['urls_scheduled_per_sec']:,} "
+            f"| {d['crawl_wall_s']} | {d['fetched']:,} "
+            f"| {r.get('steal_frac', '-')} |"
+        )
+
+    inv = res.get("schedule_parallelism_invariant")
+    digests = [
+        (p["scheduled"], p["schedule_digest"], p["text_digest"])
+        for p in r_hi["detail"]["per_round"]
+    ]
+    inv_line = (
+        "N/A — weak mode scales the corpus with cores, so digests are "
+        "incomparable across levels (strong-pair run asserts them)"
+        if inv is None
+        else f"**{'HELD' if inv else 'VIOLATED'}** — per-round (scheduled "
+        "count, schedule digest, extracted-text digest) identical at "
+        f"every parallelism: {digests}"
+    )
+    corpora = (
+        f"{r_lo['detail']['corpus_size']:,} (lo) / "
+        f"{r_hi['detail']['corpus_size']:,} (hi) pages — corpus ∝ cores"
+        if weak
+        else f"{r_hi['detail']['corpus_size']:,} pages"
+    )
+    with open(path, "w") as f:
+        f.write(f"""# BENCH — full crawl-round {"WEAK " if weak else ""}scaling (sandbox)
+
+The end-to-end loop (schedule + fetch join + byte-identical text
+extraction + outlink discovery + state update + politeness accounting)
+over a synthetic parquet corpus of {corpora},
+{r_hi['detail']['rounds']} rounds, at two CPU-pinned parallelism levels
+in fresh JVMs (interleaved passes, best-of per level).
+
+| cores | pages fetched/s | urls scheduled/s | wall s | fetched | steal frac |
+| --- | --- | --- | --- | --- | --- |
+{row(res['cores_lo'], r_lo)}
+{row(res['cores_hi'], r_hi)}
+
+**Scaling efficiency ({res['cores_lo']} → {res['cores_hi']} cores, 4×):
+{res['value']}** (criterion ≥ 0.8). All-pass rates: lo
+{res['all_rates_lo']}, hi {res['all_rates_hi']}; steal fractions lo
+{res.get('steal_frac_lo')}, hi {res.get('steal_frac_hi')}.
+
+Determinism invariant across BOTH levels and every pass: {inv_line}
+""")
 
 
 def _write_baseline_md(res, r_lo, r_hi):

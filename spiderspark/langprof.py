@@ -168,11 +168,11 @@ for _g, _l, _w in PROFILE_ROWS:
     PROFILE.setdefault(_g, np.zeros(len(LANGS), dtype=np.int64))[_LANG_IDX[_l]] += _w
 
 
-def langid_series(text: pd.Series) -> pd.Series:
-    """The pinned kernel: trigram-profile scores → CJK/und/first-max rule.
-
-    Pure pandas/numpy (Arrow-batch friendly); bit-exact integer scoring.
-    """
+def _langid_series_ref(text: pd.Series) -> pd.Series:
+    """REFERENCE kernel: per-document trigram Counter against the PROFILE
+    dict — the direct transcription of the decision rule. Kept as the
+    property-test oracle for the vectorized kernel below (and it is what
+    the DuckDB SQL restatement mirrors most literally)."""
     s = text.fillna("").astype(str)
     out = []
     for t in s:
@@ -190,6 +190,84 @@ def langid_series(text: pd.Series) -> pd.Series:
         else:
             out.append(LANGS[int(np.argmax(vec))])
     return pd.Series(out, index=s.index, dtype="object")
+
+
+# vectorized-lookup view of PROFILE: a trigram of codepoints (each
+# < 0x110000 < 2^21) packs injectively into one int64 key; the weight
+# matrix is row-aligned with the sorted key array
+_GRAM_KEYS: np.ndarray
+_GRAM_W: np.ndarray
+
+
+def _build_gram_key_table() -> tuple[np.ndarray, np.ndarray]:
+    keys = np.array(
+        [
+            (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+            for g in PROFILE
+        ],
+        dtype=np.int64,
+    )
+    w = np.stack(list(PROFILE.values())).astype(np.int64)
+    order = np.argsort(keys)
+    return keys[order], w[order]
+
+
+_GRAM_KEYS, _GRAM_W = _build_gram_key_table()
+
+
+def langid_series(text: pd.Series) -> pd.Series:
+    """The production kernel: bit-identical to :func:`_langid_series_ref`
+    (property-pinned) but vectorized over the WHOLE Arrow batch — one
+    utf-32 decode, one trigram-key array, one searchsorted lookup, and
+    per-language bincount accumulation; no per-character Python. Integer
+    scoring end-to-end, so summation order still cannot flip a decision.
+    """
+    s = text.fillna("").astype(str)
+    n_docs = len(s)
+    if n_docs == 0:
+        return pd.Series([], index=s.index, dtype="object")
+    lowered = [t.lower() for t in s]
+    lens = np.fromiter(
+        (len(t) for t in lowered), dtype=np.int64, count=n_docs
+    )
+    scores = np.zeros((n_docs, len(LANGS)), dtype=np.int64)
+    cjk = np.zeros(n_docs, dtype=np.int64)
+    if lens.sum():
+        cps = np.frombuffer(
+            "".join(lowered).encode("utf-32-le", errors="surrogatepass"),
+            dtype="<u4",
+        ).astype(np.int64)
+        ends = np.cumsum(lens)
+        doc_of_char = np.repeat(np.arange(n_docs), lens)
+        is_cjk = (cps >= 0x4E00) & (cps <= 0x9FFF)
+        cjk = np.bincount(
+            doc_of_char[is_cjk], minlength=n_docs
+        ).astype(np.int64)
+        if len(cps) >= 3:
+            keys = (cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:]
+            kdoc = doc_of_char[:-2]
+            # a trigram starting at char p is in-document iff p+2 is
+            # still before its document's end offset
+            in_doc = (np.arange(len(keys)) + 2) < ends[kdoc]
+            keys, kdoc = keys[in_doc], kdoc[in_doc]
+            pos = np.minimum(
+                np.searchsorted(_GRAM_KEYS, keys), len(_GRAM_KEYS) - 1
+            )
+            hit = _GRAM_KEYS[pos] == keys
+            kdoc, rows = kdoc[hit], pos[hit]
+            # per-language weighted bincount; float64 accumulation is
+            # exact here (|score| ≤ n_grams · 10^6 ≪ 2^53 for any batch
+            # under the Arrow 2 GB record limit)
+            for j in range(len(LANGS)):
+                scores[:, j] = np.bincount(
+                    kdoc,
+                    weights=_GRAM_W[rows, j].astype(np.float64),
+                    minlength=n_docs,
+                ).astype(np.int64)
+    pred = np.array(LANGS, dtype=object)[np.argmax(scores, axis=1)]
+    pred[scores.max(axis=1) <= 0] = "und"
+    pred[cjk > 0.2 * np.maximum(lens, 1)] = "zh"
+    return pd.Series(pred, index=s.index, dtype="object")
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,40 @@ def test_profile_table_pinned_and_deterministic():
     assert PROFILE_ROWS == sorted(
         PROFILE_ROWS, key=lambda r: (r[0], LANGS.index(r[1]))
     )
+
+
+# --- vectorized kernel ≡ reference kernel -----------------------------------
+
+from spiderspark.langprof import _langid_series_ref  # noqa: E402
+
+
+def test_vectorized_equals_reference_adversarial():
+    texts = pd.Series(
+        [t for _, t in EVAL]
+        + [
+            None, "", "ab", "中" * 3, "\x00\x01\x02", "𝔘𝔫𝔦 astral 𝕥𝕖𝕩𝕥",
+            "mixed 中文 and english 在一起", " \t\n\x0b ", "a" * 5000,
+        ]
+    )
+    assert list(langid_series(texts)) == list(_langid_series_ref(texts))
+
+
+@settings(max_examples=3, deadline=None, derandomize=True)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFFF
+                ),
+                max_size=120,
+            ),
+        ),
+        min_size=60,
+        max_size=60,
+    )
+)
+def test_vectorized_equals_reference_random(batch):
+    texts = pd.Series(batch, dtype="object")
+    assert list(langid_series(texts)) == list(_langid_series_ref(texts))
