@@ -303,9 +303,18 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
         seeds_pdf(max(200, corpus_size // 100), corpus_size), schema=SEEDS
     )
     # SPIDERSPARK_BENCH_DURABLE=1: route state segments through bucketed
-    # parquet tables (fault-tolerant mode) to measure its overhead ratio
+    # parquet tables (fault-tolerant mode) to measure its overhead ratio.
+    # SPIDERSPARK_BENCH_BUDGET: per-host politeness budget — the default
+    # 2000 keeps realistic crawl semantics (the Zipf head host saturates
+    # its budget, capping per-round volume); scaling measurements that
+    # need work ∝ corpus raise it so the frontier, not politeness, is
+    # the binding constraint
     config = CrawlConfig(
-        policy=HostPolicy(default_budget=2000.0),
+        policy=HostPolicy(
+            default_budget=float(
+                os.environ.get("SPIDERSPARK_BENCH_BUDGET", "2000")
+            )
+        ),
         durable_state=bool(os.environ.get("SPIDERSPARK_BENCH_DURABLE")),
     )
 

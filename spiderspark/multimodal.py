@@ -1100,6 +1100,125 @@ def image_meta(spark, sf_dir):
     return fake.unionByName(hdr).unionByName(px)
 
 
+# --- animated-GIF contract leg ----------------------------------------------
+# synthetic animations as a pure function of item_id: frame 0 paints the
+# whole logical screen gray c0 (disposal 1); frames k=1..nf-1 paint a 2x2
+# rect of gray ck at x=2k (non-overlapping), alternating disposal 2
+# (restore-to-background → a transparent 4-px hole in later snapshots) and
+# disposal 3 (restore-to-previous → the rect reverts to c0). Snapshot k
+# therefore has exactly floor(k/2)·4 hole pixels, base c0 elsewhere, and
+# rect ck — every statistic below is a closed-form integer expression the
+# DuckDB oracle states directly, so the DRIVER value-checks the whole
+# compositing pipeline (structural frame count, every_n sampling, fps from
+# the first GCE delay, RGBA PNG re-encode, disposal-2/3 state machine).
+
+
+def synthetic_animated_gifs(spark, n: int = 48) -> DataFrame:
+    """(item_id, video) — deterministic animated GIF wire bytes."""
+
+    def gen(batches):
+        from .encoders import encode_gif_animation
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for raw in pdf["id"]:
+                i = int(raw)
+                w = 10 + (i % 4) * 2
+                h = 6 + i % 3
+                nf = 2 + i % 4
+                c0 = 40 + (i * 7) % 150
+                pal = [(c0, c0, c0)]
+                frames = [{
+                    "indices": np.zeros((h, w), np.uint8),
+                    "disposal": 1,
+                    "delay_cs": 4 + i % 3,
+                }]
+                for k in range(1, nf):
+                    ck = 30 + (i * 11 + k * 53) % 160
+                    pal.append((ck, ck, ck))
+                    frames.append({
+                        "indices": np.full((2, 2), k, np.uint8),
+                        "left": 2 * k,
+                        "top": 1,
+                        "disposal": 2 if k % 2 else 3,
+                    })
+                blobs.append(
+                    encode_gif_animation(
+                        frames, np.array(pal, np.uint8), (w, h)
+                    )
+                )
+                ids.append(i)
+            yield pd.DataFrame({"item_id": ids, "video": blobs})
+
+    return spark.range(n).mapInPandas(gen, "item_id long, video binary")
+
+
+_FRAME_STATS = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("f_mean", T.DoubleType()),
+        T.StructField("f_std", T.DoubleType()),
+        T.StructField("f_min", T.DoubleType()),
+        T.StructField("f_max", T.DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(_FRAME_STATS)
+def frame_stats_udf(blob: pd.Series) -> pd.DataFrame:
+    """Stats over a decoded frame via INTEGER sums then one float divide —
+    the exact float64 ops the SQL oracle performs (sum < 2^53 ⇒ both sides
+    see identical doubles; round-at-4 then cannot diverge)."""
+    import math
+
+    rows = []
+    for b in blob:
+        w, h, c, px, ok = decode_image_real(None if b is None else bytes(b))
+        if not ok or px is None or not px.size:
+            rows.append((0, 0, 0.0, 0.0, 0.0, 0.0))
+            continue
+        a = px.astype(np.int64).ravel()
+        n = a.size
+        s1 = int(a.sum())
+        s2 = int((a * a).sum())
+        fm = s1 / n
+        fsq = s2 / n
+        rows.append((
+            w, h, fm,
+            math.sqrt(max(fsq - fm * fm, 0.0)),
+            float(a.min()), float(a.max()),
+        ))
+    return pd.DataFrame(
+        rows, columns=["width", "height", "f_mean", "f_std", "f_min", "f_max"]
+    )
+
+
+_ANIM_CTES = (
+    "anim_fr AS (SELECT i, k FROM range(48) t(i), range(5) u(k) "
+    "WHERE k < 2 + i % 4 AND k % 2 = 0), "
+    "anim_g AS (SELECT i, k, 10 + (i % 4) * 2 AS w, 6 + i % 3 AS h, "
+    "2 + i % 4 AS nf, 4 + i % 3 AS delay, 40 + (i * 7) % 150 AS c0, "
+    "30 + (i * 11 + k * 53) % 160 AS ck, (k // 2) * 4 AS holes FROM anim_fr), "
+    "anim_v AS (SELECT i, k, nf, delay, w, h, c0, ck, "
+    "CASE WHEN k = 0 THEN w * h ELSE w * h - holes - 4 END AS base, "
+    "CASE WHEN k = 0 THEN 0 ELSE 4 END AS rpx FROM anim_g), "
+    "anim_s AS (SELECT i, k, nf, delay, w, h, c0, "
+    "(base * (3 * c0 + 255) + rpx * (3 * ck + 255)) * 1.0 / (4 * w * h) AS fm, "
+    "(base * (3 * c0 * c0 + 65025) + rpx * (3 * ck * ck + 65025)) * 1.0 "
+    "/ (4 * w * h) AS fsq FROM anim_v)"
+)
+
+_ANIM_LEG_SQL = (
+    "SELECT CAST(i AS BIGINT) AS item_id, round(fm, 4) AS f_mean, "
+    "round(sqrt(greatest(fsq - fm * fm, 0.0)), 4) AS f_std, "
+    "round(CASE WHEN k = 0 THEN CAST(c0 AS DOUBLE) ELSE 0.0 END, 4) AS f_min, "
+    "255.0 AS f_max, "
+    "printf('anim_f%d_n%d_fps%d_%dx%d', k, nf, "
+    "CAST(round(100.0 / delay, 0) AS INT), w, h) AS tier FROM anim_s"
+)
+
+
 @q(
     "image_features",
     # fake leg: closed-form stats of the byte ramp arange(n) % 251
@@ -1120,7 +1239,7 @@ def image_meta(spark, sf_dir):
     "CASE WHEN n = 0 THEN 0.0 ELSE (q*31375 + (r*(r-1))//2) * 1.0 / n END AS m, "
     "CASE WHEN n = 0 THEN 0.0 "
     "ELSE (q*5239625 + ((r-1)*r*(2*r-1))//6) * 1.0 / n END AS msq FROM c), "
-    f"realrows AS ({_REAL_ROWS}) "
+    f"realrows AS ({_REAL_ROWS}), {_ANIM_CTES} "
     "SELECT CAST(i AS BIGINT) AS item_id, round(m, 4) AS f_mean, "
     "round(sqrt(greatest(msq - m * m, 0.0)), 4) AS f_std, 0.0 AS f_min, "
     "round(CASE WHEN n = 0 THEN 0.0 WHEN n >= 251 THEN 250.0 "
@@ -1134,14 +1253,18 @@ def image_meta(spark, sf_dir):
     "ELSE CAST(v AS DOUBLE) END, 4) AS f_min, "
     "round(CASE WHEN rnull OR rjunk THEN 0.0 WHEN fmt = 5 "
     "THEN CAST(v AS DOUBLE) ELSE CAST(v + 17 AS DOUBLE) END, 4) AS f_max, "
-    "'real' AS tier FROM realrows",
+    "'real' AS tier FROM realrows "
+    f"UNION ALL {_ANIM_LEG_SQL}",
 )
 def image_features(spark, sf_dir):
     """Feature-extraction plumbing as a first-class contract query: binary →
     fixed-width vector, batch-vectorized (the embedding-model batch shape).
-    Two tagged legs: the fake tier's reduceat kernel over IMG1 payloads,
-    and the REAL tier — statistics of pixels that came through the
-    from-scratch PNG/GIF/BMP/JPEG decoders, value-checked exactly."""
+    Three tagged legs: the fake tier's reduceat kernel over IMG1 payloads;
+    the REAL tier — statistics of pixels that came through the from-scratch
+    PNG/GIF/BMP/JPEG decoders, value-checked exactly; and the ANIM tier —
+    animated-GIF disposal compositing through the sample_frames seam, with
+    frame_idx/n_frames/fps/dims hash-checked inside the tier tag (see the
+    closed-form construction above synthetic_animated_gifs)."""
     media = synthetic_media_df(spark, 64)
     feats = mean_pixel_features(media)
     fake = feats.select(
@@ -1158,7 +1281,25 @@ def image_features(spark, sf_dir):
         F.round("f_min", 4).alias("f_min"),
         F.round("f_max", 4).alias("f_max"),
     ).withColumn("tier", F.lit("real"))
-    return fake.unionByName(real)
+    anim = (
+        sample_frames(synthetic_animated_gifs(spark, 48), every_n=2)
+        .select(
+            "item_id", "frame_idx", "n_frames", "fps",
+            frame_stats_udf("frame").alias("s"),
+        )
+        .select(
+            "item_id",
+            F.round("s.f_mean", 4).alias("f_mean"),
+            F.round("s.f_std", 4).alias("f_std"),
+            F.round("s.f_min", 4).alias("f_min"),
+            F.round("s.f_max", 4).alias("f_max"),
+            F.format_string(
+                "anim_f%d_n%d_fps%d_%dx%d",
+                "frame_idx", "n_frames", "fps", "s.width", "s.height",
+            ).alias("tier"),
+        )
+    )
+    return fake.unionByName(real).unionByName(anim)
 
 
 # ---------------------------------------------------------------------------
