@@ -75,7 +75,12 @@ from .schedule import (
 )
 from .schemas import FRONTIER, HOST_STATE, SEEN, SEEN_SCHED
 from .snapshots import SnapshotStore
-from .state import SegmentedTable, materialize_keyed, resolve_frontier_delta
+from .state import (
+    SegmentedTable,
+    materialize_keyed,
+    materialize_many,
+    resolve_frontier_delta,
+)
 
 # the frontier's physical partitioning: both columns are pure functions of
 # the canonical url, so (FRONTIER_KEY..., url_hash) is a consistent compound
@@ -421,18 +426,21 @@ def crawl_round(
         .join(pages.select("url_hash", "html"), "url_hash", "left")
         .withColumn("text", extract_text_udf("html"))
     )
-    fetch_log = _materialize(
-        fetched.select(
-            F.lit(batch_id).cast("long").alias("batch_id"),
-            F.spark_partition_id().alias("partition_id"),
-            "url_hash",
-            "host",
-            F.when(F.col("html").isNull(), F.lit("missing"))
-            .otherwise(F.lit("fetched"))
-            .alias("status"),
-            F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
-            F.xxhash64("text").alias("text_hash"),
-        )
+    # fetch_log stays LAZY: it is a pure narrow projection of the checkpoint
+    # just pinned above (spark_partition_id is stable over checkpointed
+    # blocks, every other column deterministic), so each consumer — the
+    # snapshot commit, the metrics sink, a caller's digest — pays one cheap
+    # partition-local rescan instead of the round paying an extra eager job.
+    fetch_log = fetched.select(
+        F.lit(batch_id).cast("long").alias("batch_id"),
+        F.spark_partition_id().alias("partition_id"),
+        "url_hash",
+        "host",
+        F.when(F.col("html").isNull(), F.lit("missing"))
+        .otherwise(F.lit("fetched"))
+        .alias("status"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+        F.xxhash64("text").alias("text_hash"),
     )
 
     # 7. discovery: outlinks of fetched pages → frontier rows at depth+1
@@ -470,12 +478,23 @@ def crawl_round(
         F.col("attempt") + 1 >= F.lit(config.max_attempts)
     )
     mat = _keyed_mat(config, state.workdir)
-    newly_seen_seg = mat(
-        fetched.filter(done_cond).select(
-            "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+    # 10. politeness accounting reads only the pinned schedule; the
+    #     newly-seen segment reads only the pinned fetch. Two independent
+    #     small jobs — overlapped, because run serially each costs a fixed
+    #     driver round-trip that never scales with cores (the measured
+    #     non-scaling term of the strong pair; see state.materialize_many).
+    sched_counts = schedule.groupBy("host").agg(F.count(F.lit(1)).alias("scheduled"))
+    newly_seen_seg, host_state = materialize_many([
+        lambda: mat(
+            fetched.filter(done_cond).select(
+                "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+            ),
+            n_parts=n,
         ),
-        n_parts=n,
-    )
+        lambda: _materialize(
+            update_host_state(state.host_state, sched_counts, config.policy)
+        ),
+    ])
     seen = state.seen.append(newly_seen_seg).maybe_compact(
         config.max_segments,
         materializer=lambda df: mat(df, n_parts=n),
@@ -506,13 +525,87 @@ def crawl_round(
     delta = dedup_within_batch(
         _frontier_cols(delta).repartition(n, "url_hash")
     )
-    delta = insertion_gate(delta, state.host_state)  # never insert dead rows
-    delta = mat(
-        seen.anti_probe(_frontier_cols(delta)),
-        n_parts=n,
-        key=FRONTIER_KEY,
-        sort=state.frontier.sort_cols,
-    )
+    delta_plan = insertion_gate(delta, state.host_state)  # never insert dead rows
+
+    # 9. sketch'/mirror' inputs: this round's newly-seen keys routed by
+    #    their TRUE (host_bucket, salt) — the same routing a future frontier
+    #    row for the url will carry into its membership task / its mirror
+    #    anti-join partition. Prepared here so the mirror segment pin and
+    #    the sketch delta write (both independent of the frontier delta) can
+    #    run CONCURRENTLY with the round's dominant job below.
+    sketch = state.sketch
+    seen_sched = state.seen_sched
+    # skip them when nothing became seen this round (drained frontier / all
+    # fetches failed with attempts left): an empty write would leave a
+    # files-less directory and add a useless path to every future membership
+    # side-read. newly_seen_seg is checkpointed, so the emptiness probe is a
+    # cheap partition-local scan.
+    have_newly_seen = not newly_seen_seg.isEmpty()
+    newly_routed = None
+    if (sketch is not None or seen_sched is not None) and have_newly_seen:
+        newly_routed = assign_salts_static(
+            fetched.filter(done_cond).select(
+                "url_hash", "url_norm", "host",
+                host_bucket_col(F.col("host")).alias("host_bucket"),
+            ),
+            state.salts,
+        ).repartition(n, *FRONTIER_KEY)
+
+    thunks = [
+        lambda: mat(
+            seen.anti_probe(_frontier_cols(delta_plan)),
+            n_parts=n,
+            key=FRONTIER_KEY,
+            sort=state.frontier.sort_cols,
+        )
+    ]
+    mirror_idx = sketch_idx = None
+    if seen_sched is not None and have_newly_seen:
+        mirror_idx = len(thunks)
+        thunks.append(
+            lambda: mat(
+                newly_routed.select("host_bucket", "salt", "url_hash"),
+                n_parts=n,
+                key=FRONTIER_KEY,
+                repartition=False,
+                sort=seen_sched.sort_cols,
+            )
+        )
+    if sketch is not None and have_newly_seen:
+        sketch_path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
+        # a resumed pre-schema sketch may route by url_hash — re-key for it
+        for_sketch = (
+            newly_routed
+            if tuple(sketch.routing) == FRONTIER_KEY
+            else newly_routed.repartition(n, *sketch.routing)
+        )
+        sketch_idx = len(thunks)
+        thunks.append(
+            lambda: write_sketch_delta(
+                for_sketch, sketch_path, sketch, assume_keyed_layout=True
+            )
+        )
+    results = materialize_many(thunks)
+    delta = results[0]
+    if mirror_idx is not None:
+        seen_sched = seen_sched.append(results[mirror_idx]).maybe_compact(
+            config.max_segments,
+            materializer=lambda df: mat(
+                df, n_parts=n, key=FRONTIER_KEY, sort=state.seen_sched.sort_cols
+            ),
+        )
+    if sketch_idx is not None:
+        sketch = results[sketch_idx]
+        if len(sketch.paths) > config.max_segments:
+            old_paths = sketch.paths
+            sketch = compact_sketch(
+                spark, sketch, os.path.join(state.workdir, f"sketch_base_{batch_id:06d}")
+            )
+            import shutil
+
+            for p in old_paths:  # reclaim workdir deltas; never touch the
+                if p.startswith(state.workdir):  # store (resume points there)
+                    shutil.rmtree(p, ignore_errors=True)
 
     # schedule removal: anti-probe each stored segment with the scheduled
     # keys brought into the frontier layout — co-partitioned, zero exchange
@@ -538,83 +631,21 @@ def crawl_round(
     )
     updated_plans, winners = resolve_frontier_delta(remaining, delta)
     f_sort = state.frontier.sort_cols
-    segments = [
-        mat(p, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort)
-        for p in updated_plans
-    ]
-    segments.append(
-        mat(winners, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort)
+    # the rewritten segments and the winners segment are disjoint-keyed and
+    # independent — pin them concurrently (each is a small partition-local
+    # job; serialized, this loop was another flat ~4 s/loop of the pair)
+    segments = materialize_many(
+        [
+            (lambda p=p: mat(p, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort))
+            for p in updated_plans
+        ]
+        + [lambda: mat(winners, n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort)]
     )
     frontier = SegmentedTable(
         tuple(segments), n_parts=n, key=state.frontier.key
     ).maybe_compact(
         config.max_segments,
         materializer=lambda df: mat(df, n_parts=n, key=FRONTIER_KEY, sort=f_sort),
-    )
-
-    # 9. sketch': fold this round's newly-seen keys in as a bucket-
-    #    partitioned delta directory (partition-local partial filters; the
-    #    keys are already in the keyed layout so not even the delta
-    #    exchanges). Compaction = distributed groupBy(bucket) bit-OR.
-    sketch = state.sketch
-    seen_sched = state.seen_sched
-    # skip the delta when nothing became seen this round (drained frontier /
-    # all fetches failed with attempts left): an empty write would leave a
-    # files-less directory and add a useless path to every future membership
-    # side-read. newly_seen_seg is checkpointed, so the emptiness probe is a
-    # cheap partition-local scan.
-    have_newly_seen = not newly_seen_seg.isEmpty()
-    if (sketch is not None or seen_sched is not None) and have_newly_seen:
-        # keys routed by their TRUE (host_bucket, salt) — the same routing a
-        # future frontier row for the url will carry into its membership
-        # task / its mirror anti-join partition
-        newly_routed = assign_salts_static(
-            fetched.filter(done_cond).select(
-                "url_hash", "url_norm", "host",
-                host_bucket_col(F.col("host")).alias("host_bucket"),
-            ),
-            state.salts,
-        ).repartition(n, *FRONTIER_KEY)
-    if seen_sched is not None and have_newly_seen:
-        mirror_seg = mat(
-            newly_routed.select("host_bucket", "salt", "url_hash"),
-            n_parts=n,
-            key=FRONTIER_KEY,
-            repartition=False,
-            sort=seen_sched.sort_cols,
-        )
-        seen_sched = seen_sched.append(mirror_seg).maybe_compact(
-            config.max_segments,
-            materializer=lambda df: mat(
-                df, n_parts=n, key=FRONTIER_KEY, sort=state.seen_sched.sort_cols
-            ),
-        )
-    if sketch is not None and have_newly_seen:
-        path = os.path.join(state.workdir, f"sketch_delta_{batch_id:06d}")
-        # a resumed pre-schema sketch may route by url_hash — re-key for it
-        for_sketch = (
-            newly_routed
-            if tuple(sketch.routing) == FRONTIER_KEY
-            else newly_routed.repartition(n, *sketch.routing)
-        )
-        sketch = write_sketch_delta(
-            for_sketch, path, sketch, assume_keyed_layout=True
-        )
-        if len(sketch.paths) > config.max_segments:
-            old_paths = sketch.paths
-            sketch = compact_sketch(
-                spark, sketch, os.path.join(state.workdir, f"sketch_base_{batch_id:06d}")
-            )
-            import shutil
-
-            for p in old_paths:  # reclaim workdir deltas; never touch the
-                if p.startswith(state.workdir):  # store (resume points there)
-                    shutil.rmtree(p, ignore_errors=True)
-
-    # 10. politeness accounting
-    sched_counts = schedule.groupBy("host").agg(F.count(F.lit(1)).alias("scheduled"))
-    host_state = _materialize(
-        update_host_state(state.host_state, sched_counts, config.policy)
     )
 
     new_state = CrawlState(
