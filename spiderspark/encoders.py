@@ -435,3 +435,50 @@ def encode_jpeg_const_gray(
     return (
         b"\xff\xd8" + dqt + sof + dht + com + sos + entropy + b"\xff\xd9"
     )
+
+
+# --- WAV (RIFF) --------------------------------------------------------------
+
+
+def encode_wav(
+    audio_fmt: int,
+    channels: int,
+    sample_rate: int,
+    bits: int,
+    data: bytes,
+    block_align: int | None = None,
+    fmt_ext: bytes = b"",
+    fact_n: int | None = None,
+    with_list_chunk: bool = False,
+) -> bytes:
+    """RIFF/WAVE container around raw ``data`` chunk bytes — the engine-side
+    forward encoder for :func:`spiderspark.multimodal.decode_wav` (same
+    two-job stance as the image encoders above: spec-inverse tests AND the
+    closed-form driver fixture :func:`synthetic_wav_df`).
+
+    ``audio_fmt`` is the WAVE format tag (1 PCM, 3 IEEE float, 6 A-law,
+    7 µ-law, 0x11 IMA ADPCM). ``fmt_ext`` becomes the fmt-chunk extension
+    (cbSize + bytes — ADPCM's wSamplesPerBlock lives here); ``fact_n``
+    emits a fact chunk (authoritative decoded-sample count for compressed
+    formats). ``with_list_chunk`` inserts an ODD-length LIST chunk before
+    data so the decoder's chunk walk + RIFF pad-byte handling is exercised
+    on the driver path, not just in pytest."""
+    block = block_align if block_align is not None else channels * bits // 8
+    byte_rate = sample_rate * block
+    fmt_body = struct.pack(
+        "<HHIIHH", audio_fmt, channels, sample_rate, byte_rate, block, bits
+    )
+    if fmt_ext:
+        fmt_body += struct.pack("<H", len(fmt_ext)) + fmt_ext
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""  # RIFF pads odd chunks
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    inner = chunk(b"fmt ", fmt_body)
+    if with_list_chunk:
+        inner += chunk(b"LIST", b"INFOIA\x00")  # odd length: pad exercised
+    if fact_n is not None:
+        inner += chunk(b"fact", struct.pack("<I", fact_n))
+    inner += chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WAVE" + inner

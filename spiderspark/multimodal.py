@@ -1219,6 +1219,201 @@ _ANIM_LEG_SQL = (
 )
 
 
+# --- WAV driver leg ----------------------------------------------------------
+# Deterministic real RIFF/WAVE wire bytes as a pure function of item_id, so
+# the DuckDB oracle can state the decoded sample statistics closed-form and
+# the from-scratch audio decoders (PCM 8/16-bit, IEEE float32, ITU-T G.711
+# A-law/µ-law, IMA ADPCM incl. wSamplesPerBlock + fact-chunk truncation) are
+# VALUE-checked by the external driver, not just by pytest. The G.711 oracle
+# re-derives the segment expansion in plain SQL arithmetic from the public
+# ITU-T formulas — an independent restatement, not the engine's LUT.
+#
+# Exactness: every sample is a dyadic rational (int/2^15, int/2^7, int/2^3)
+# with |x| <= 1 and at most 76 samples per item, so numpy's sums and SQL's
+# sums are EXACT regardless of order; mean = S1/n and msq = S2/n round once
+# identically on both sides, and std = sqrt(msq - m*m) is the same IEEE op
+# chain — the round-at-4 comparison is over bit-identical doubles.
+
+
+def synthetic_wav_df(spark, n: int = 60) -> DataFrame:
+    """Per row i: every 11th null, every 13th junk bytes; otherwise codec
+    i%6 ∈ (PCM16, PCM8, float32, A-law, µ-law, IMA ADPCM), channels 1+i%2
+    (channel values DUPLICATED so mono == channel), rate 8000+400*(i%5),
+    48+(i%29) frames from closed-form integer ramps (see the oracle CTEs).
+    ADPCM rows are all-zero nibbles at step index 0 (step 7 >> 3 == 0 ⇒
+    constant predictor output) with a declared wSamplesPerBlock BELOW block
+    capacity and a fact chunk below that — so block layout, extension
+    parsing, and both truncation paths are inside the driver's value hash.
+    Every 4th row carries an odd-length LIST chunk (RIFF pad-byte walk)."""
+    from .encoders import encode_wav
+
+    rows = []
+    for i in range(n):
+        if i % 11 == 10:
+            rows.append((i, None))
+            continue
+        if i % 13 == 12:
+            rows.append((i, b"NOPE" + bytes([i % 256]) * 20))
+            continue
+        codec, ch = i % 6, 1 + i % 2
+        rate, length = 8000 + 400 * (i % 5), 48 + (i % 29)
+        j = np.arange(length, dtype=np.int64)
+        lst = i % 4 == 1
+        if codec == 0:
+            k = ((i * 37 + j * 97) % 4001) - 2000
+            data = np.repeat(k, ch).astype("<i2").tobytes()
+            blob = encode_wav(1, ch, rate, 16, data, with_list_chunk=lst)
+        elif codec == 1:
+            u = (i * 13 + j * 29) % 256
+            data = np.repeat(u, ch).astype(np.uint8).tobytes()
+            blob = encode_wav(1, ch, rate, 8, data, with_list_chunk=lst)
+        elif codec == 2:
+            v = (((i + j) % 17) - 8) / 8.0
+            data = np.repeat(v, ch).astype("<f4").tobytes()
+            blob = encode_wav(3, ch, rate, 32, data, with_list_chunk=lst)
+        elif codec == 3:
+            code = (i * 11 + j * 23) % 256
+            data = np.repeat(code, ch).astype(np.uint8).tobytes()
+            blob = encode_wav(6, ch, rate, 8, data, with_list_chunk=lst)
+        elif codec == 4:
+            code = (i * 7 + j * 31) % 256
+            data = np.repeat(code, ch).astype(np.uint8).tobytes()
+            blob = encode_wav(7, ch, rate, 8, data, with_list_chunk=lst)
+        else:
+            pred = ((i * 41) % 3000) - 1500
+            words = 2 + i % 3
+            block_align = 4 * ch * (1 + words)
+            spb_decl = 1 + 8 * words - (i % 4)
+            nblocks = 1 + i % 3
+            fact_n = nblocks * spb_decl - (i % 5)
+            block = b"".join(
+                struct.pack("<hBB", pred, 0, 0) for _ in range(ch)
+            ) + b"\x00" * (4 * ch * words)
+            blob = encode_wav(
+                0x11, ch, rate, 4, block * nblocks,
+                block_align=block_align,
+                fmt_ext=struct.pack("<H", spb_decl),
+                fact_n=fact_n,
+                with_list_chunk=lst,
+            )
+        rows.append((i, blob))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("item_id", T.LongType()),
+                T.StructField("audio", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+_WAV_STATS = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("s_mean", T.DoubleType()),
+        T.StructField("s_std", T.DoubleType()),
+        T.StructField("s_min", T.DoubleType()),
+        T.StructField("s_max", T.DoubleType()),
+        T.StructField("valid", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_WAV_STATS)
+def wav_stats_udf(blob: pd.Series) -> pd.DataFrame:
+    """Mono sample statistics via exact sums then one float divide (the
+    identical op order the SQL oracle performs — see the exactness note)."""
+    import math
+
+    rows = []
+    for b in blob:
+        rate, ch, m, s, ok = decode_wav(None if b is None else bytes(b))
+        if not ok or s is None or not s.size:
+            rows.append((0, 0, 0, 0.0, 0.0, 0.0, 0.0, False))
+            continue
+        mono = s.mean(axis=1)
+        n = mono.size
+        s1 = float(mono.sum())
+        s2 = float((mono * mono).sum())
+        mean = s1 / n
+        msq = s2 / n
+        rows.append((
+            rate, ch, m, mean,
+            math.sqrt(max(msq - mean * mean, 0.0)),
+            float(mono.min()), float(mono.max()), True,
+        ))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "sample_rate", "channels", "n_samples",
+            "s_mean", "s_std", "s_min", "s_max", "valid",
+        ],
+    )
+
+
+_WAV_CODEC_SQL = (
+    "CASE w.codec WHEN 0 THEN 'pcm16' WHEN 1 THEN 'pcm8' WHEN 2 THEN 'f32' "
+    "WHEN 3 THEN 'alaw' WHEN 4 THEN 'ulaw' END"
+)
+
+_WAV_CTES = (
+    "wav_it AS (SELECT i, "
+    "i % 11 = 10 OR (i % 11 <> 10 AND i % 13 = 12) AS bad, "
+    "i % 6 AS codec, 1 + i % 2 AS ch, 8000 + 400 * (i % 5) AS sr, "
+    "48 + (i % 29) AS len FROM range(60) t(i)), "
+    # G.711 codes: µ-law pre-inverts (u = 255 - code), A-law pre-XORs 0x55
+    "wav_code AS (SELECT w.i, w.codec, "
+    "CASE w.codec WHEN 3 THEN xor((w.i*11 + j*23) % 256, 85) "
+    "ELSE 255 - ((w.i*7 + j*31) % 256) END AS g "
+    "FROM wav_it w, range(77) u(j) "
+    "WHERE NOT w.bad AND w.codec IN (3, 4) AND j < w.len), "
+    # ITU-T G.711 segment expansion restated in SQL arithmetic:
+    # A-law: t = (mant*16 + 8 | + 264 | (+264) << (seg-1)); sign bit SET ⇒ +
+    # µ-law: t = (mant*8 + 132) << seg; out = ±(t - 132) around bias 0x84
+    "wav_g711 AS (SELECT i, CASE WHEN codec = 3 THEN "
+    "(CASE WHEN g >= 128 THEN 1 ELSE -1 END) * "
+    "(CASE (g // 16) % 8 WHEN 0 THEN (g % 16) * 16 + 8 "
+    "WHEN 1 THEN (g % 16) * 16 + 264 "
+    "ELSE ((g % 16) * 16 + 264) * (1 << ((g // 16) % 8 - 1)) END) "
+    "ELSE (CASE WHEN g >= 128 THEN "
+    "132 - ((g % 16) * 8 + 132) * (1 << ((g // 16) % 8)) "
+    "ELSE ((g % 16) * 8 + 132) * (1 << ((g // 16) % 8)) - 132 END) "
+    "END AS lin FROM wav_code), "
+    "wav_x AS (SELECT w.i, CASE w.codec "
+    "WHEN 0 THEN (((w.i*37 + j*97) % 4001) - 2000) / 32768.0 "
+    "WHEN 1 THEN (((w.i*13 + j*29) % 256) - 128) / 128.0 "
+    "ELSE (((w.i + j) % 17) - 8) / 8.0 END AS x "
+    "FROM wav_it w, range(77) u(j) "
+    "WHERE NOT w.bad AND w.codec < 3 AND j < w.len "
+    "UNION ALL SELECT i, lin / 32768.0 AS x FROM wav_g711), "
+    "wav_agg AS (SELECT i, sum(x) / count(*) AS m, "
+    "sum(x * x) / count(*) AS msq, min(x) AS mn, max(x) AS mx "
+    "FROM wav_x GROUP BY i), "
+    # ADPCM: all-zero nibbles at step index 0 ⇒ constant predictor output;
+    # n = blocks * wSamplesPerBlock, then fact-chunk truncation
+    "wav_adp AS (SELECT i, sr, ch, (((i*41) % 3000) - 1500) / 32768.0 AS p, "
+    "(1 + (i % 3)) * (1 + 8 * (2 + i % 3) - (i % 4)) - (i % 5) AS n "
+    "FROM wav_it WHERE NOT bad AND codec = 5)"
+)
+
+_WAV_LEG_SQL = (
+    "SELECT CAST(w.i AS BIGINT) AS item_id, round(a.m, 4) AS f_mean, "
+    "round(sqrt(greatest(a.msq - a.m * a.m, 0.0)), 4) AS f_std, "
+    "round(a.mn, 4) AS f_min, round(a.mx, 4) AS f_max, "
+    f"printf('wav_%s_sr%d_ch%d_n%d', {_WAV_CODEC_SQL}, w.sr, w.ch, w.len) "
+    "AS tier FROM wav_it w JOIN wav_agg a ON a.i = w.i "
+    "UNION ALL SELECT CAST(i AS BIGINT) AS item_id, round(p, 4) AS f_mean, "
+    "0.0 AS f_std, round(p, 4) AS f_min, round(p, 4) AS f_max, "
+    "printf('wav_adpcm_sr%d_ch%d_n%d', sr, ch, n) AS tier FROM wav_adp "
+    "UNION ALL SELECT CAST(i AS BIGINT) AS item_id, 0.0 AS f_mean, "
+    "0.0 AS f_std, 0.0 AS f_min, 0.0 AS f_max, 'wav_invalid' AS tier "
+    "FROM wav_it WHERE bad"
+)
+
+
 @q(
     "image_features",
     # fake leg: closed-form stats of the byte ramp arange(n) % 251
@@ -1239,7 +1434,7 @@ _ANIM_LEG_SQL = (
     "CASE WHEN n = 0 THEN 0.0 ELSE (q*31375 + (r*(r-1))//2) * 1.0 / n END AS m, "
     "CASE WHEN n = 0 THEN 0.0 "
     "ELSE (q*5239625 + ((r-1)*r*(2*r-1))//6) * 1.0 / n END AS msq FROM c), "
-    f"realrows AS ({_REAL_ROWS}), {_ANIM_CTES} "
+    f"realrows AS ({_REAL_ROWS}), {_ANIM_CTES}, {_WAV_CTES} "
     "SELECT CAST(i AS BIGINT) AS item_id, round(m, 4) AS f_mean, "
     "round(sqrt(greatest(msq - m * m, 0.0)), 4) AS f_std, 0.0 AS f_min, "
     "round(CASE WHEN n = 0 THEN 0.0 WHEN n >= 251 THEN 250.0 "
@@ -1254,17 +1449,21 @@ _ANIM_LEG_SQL = (
     "round(CASE WHEN rnull OR rjunk THEN 0.0 WHEN fmt = 5 "
     "THEN CAST(v AS DOUBLE) ELSE CAST(v + 17 AS DOUBLE) END, 4) AS f_max, "
     "'real' AS tier FROM realrows "
-    f"UNION ALL {_ANIM_LEG_SQL}",
+    f"UNION ALL {_ANIM_LEG_SQL} "
+    f"UNION ALL {_WAV_LEG_SQL}",
 )
 def image_features(spark, sf_dir):
     """Feature-extraction plumbing as a first-class contract query: binary →
     fixed-width vector, batch-vectorized (the embedding-model batch shape).
-    Three tagged legs: the fake tier's reduceat kernel over IMG1 payloads;
+    Four tagged legs: the fake tier's reduceat kernel over IMG1 payloads;
     the REAL tier — statistics of pixels that came through the from-scratch
-    PNG/GIF/BMP/JPEG decoders, value-checked exactly; and the ANIM tier —
+    PNG/GIF/BMP/JPEG decoders, value-checked exactly; the ANIM tier —
     animated-GIF disposal compositing through the sample_frames seam, with
     frame_idx/n_frames/fps/dims hash-checked inside the tier tag (see the
-    closed-form construction above synthetic_animated_gifs)."""
+    closed-form construction above synthetic_animated_gifs); and the WAV
+    tier — sample statistics of audio that came through the from-scratch
+    PCM/float/G.711/IMA-ADPCM decoders, with sample_rate/channels/n_samples
+    hash-checked inside the tier tag (see synthetic_wav_df)."""
     media = synthetic_media_df(spark, 64)
     feats = mean_pixel_features(media)
     fake = feats.select(
@@ -1299,7 +1498,30 @@ def image_features(spark, sf_dir):
             ).alias("tier"),
         )
     )
-    return fake.unionByName(real).unionByName(anim)
+    codec_names = F.array(
+        *[F.lit(x) for x in ["pcm16", "pcm8", "f32", "alaw", "ulaw", "adpcm"]]
+    )
+    wav = synthetic_wav_df(spark, 60).select(
+        "item_id", wav_stats_udf("audio").alias("s")
+    ).select(
+        "item_id",
+        F.round("s.s_mean", 4).alias("f_mean"),
+        F.round("s.s_std", 4).alias("f_std"),
+        F.round("s.s_min", 4).alias("f_min"),
+        F.round("s.s_max", 4).alias("f_max"),
+        F.when(~F.col("s.valid"), F.lit("wav_invalid"))
+        .otherwise(
+            F.format_string(
+                "wav_%s_sr%d_ch%d_n%d",
+                F.element_at(
+                    codec_names, (F.col("item_id") % 6 + 1).cast("int")
+                ),
+                "s.sample_rate", "s.channels", "s.n_samples",
+            )
+        )
+        .alias("tier"),
+    )
+    return fake.unionByName(real).unionByName(anim).unionByName(wav)
 
 
 # ---------------------------------------------------------------------------

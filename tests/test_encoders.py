@@ -170,3 +170,115 @@ def test_synthetic_real_media_fixture_contract(spark):
             assert f.min() == v and f.max() == v + 17
             # even pixel count per image → exact half-and-half
             assert f.mean() == v + 8.5 and f.std() == 8.5
+
+
+# --- WAV encoder ↔ decoder ---------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    ch=st.integers(1, 3),
+    rate=st.integers(1, 96000),
+    n=st.integers(1, 200),
+    seed=st.integers(0, 2**31 - 1),
+    codec=st.sampled_from(["pcm16", "pcm8", "f32", "f64", "alaw", "ulaw"]),
+    lst=st.booleans(),
+)
+def test_wav_encoder_is_decoder_inverse(ch, rate, n, seed, codec, lst):
+    from spiderspark.encoders import encode_wav
+    from spiderspark.multimodal import _ALAW_LUT, _ULAW_LUT, decode_wav
+
+    rng = np.random.default_rng(seed)
+    if codec == "pcm16":
+        raw = rng.integers(-32768, 32768, size=n * ch).astype("<i2")
+        blob = encode_wav(1, ch, rate, 16, raw.tobytes(), with_list_chunk=lst)
+        want = raw.astype(np.float64).reshape(n, ch) / 32768.0
+    elif codec == "pcm8":
+        raw = rng.integers(0, 256, size=n * ch).astype(np.uint8)
+        blob = encode_wav(1, ch, rate, 8, raw.tobytes(), with_list_chunk=lst)
+        want = (raw.astype(np.float64).reshape(n, ch) - 128.0) / 128.0
+    elif codec == "f32":
+        raw = rng.standard_normal(n * ch).astype("<f4")
+        blob = encode_wav(3, ch, rate, 32, raw.tobytes(), with_list_chunk=lst)
+        want = raw.astype(np.float64).reshape(n, ch)
+    elif codec == "f64":
+        raw = rng.standard_normal(n * ch).astype("<f8")
+        blob = encode_wav(3, ch, rate, 64, raw.tobytes(), with_list_chunk=lst)
+        want = raw.reshape(n, ch)
+    else:
+        raw = rng.integers(0, 256, size=n * ch).astype(np.uint8)
+        fmt = 6 if codec == "alaw" else 7
+        lut = _ALAW_LUT if codec == "alaw" else _ULAW_LUT
+        blob = encode_wav(fmt, ch, rate, 8, raw.tobytes(), with_list_chunk=lst)
+        want = lut[raw].astype(np.float64).reshape(n, ch) / 32768.0
+    r, c, m, s, ok = decode_wav(blob)
+    assert ok and (r, c, m) == (rate, ch, n)
+    np.testing.assert_array_equal(s, want)
+
+
+def test_wav_encoder_adpcm_truncation_paths():
+    """wSamplesPerBlock below block capacity AND a fact chunk below that:
+    both truncations must land in n_samples (all-zero nibbles at step index
+    0 keep the predictor constant, so content is closed-form)."""
+    import struct
+
+    from spiderspark.encoders import encode_wav
+    from spiderspark.multimodal import decode_wav
+
+    ch, words, nblocks, pred = 2, 3, 2, -777
+    block_align = 4 * ch * (1 + words)
+    spb_cap = 1 + 8 * words
+    spb_decl = spb_cap - 3
+    fact_n = nblocks * spb_decl - 4
+    block = b"".join(
+        struct.pack("<hBB", pred, 0, 0) for _ in range(ch)
+    ) + b"\x00" * (4 * ch * words)
+    blob = encode_wav(
+        0x11, ch, 11025, 4, block * nblocks, block_align=block_align,
+        fmt_ext=struct.pack("<H", spb_decl), fact_n=fact_n,
+    )
+    r, c, m, s, ok = decode_wav(blob)
+    assert ok and (r, c, m) == (11025, ch, fact_n)
+    np.testing.assert_array_equal(s, np.full((fact_n, ch), pred / 32768.0))
+
+
+def test_synthetic_wav_fixture_contract(spark):
+    """Every fixture row decodes to its closed-form stats (the same facts
+    the driver oracle states in SQL) — run through the fixture generator,
+    not the UDF, so a failure localizes to construction vs decode."""
+    from spiderspark.multimodal import _ALAW_LUT, _ULAW_LUT, decode_wav, synthetic_wav_df
+
+    rows = {
+        r["item_id"]: r["audio"]
+        for r in synthetic_wav_df(spark, 60).collect()
+    }
+    for i in range(60):
+        blob = rows[i]
+        if i % 11 == 10:
+            assert blob is None
+            continue
+        if i % 13 == 12:
+            assert decode_wav(bytes(blob))[4] is False
+            continue
+        codec, ch = i % 6, 1 + i % 2
+        rate, length = 8000 + 400 * (i % 5), 48 + (i % 29)
+        j = np.arange(length, dtype=np.int64)
+        r, c, m, s, ok = decode_wav(bytes(blob))
+        assert ok and (r, c) == (rate, ch)
+        mono = s.mean(axis=1)
+        if codec == 0:
+            want = (((i * 37 + j * 97) % 4001) - 2000) / 32768.0
+        elif codec == 1:
+            want = (((i * 13 + j * 29) % 256) - 128.0) / 128.0
+        elif codec == 2:
+            want = (((i + j) % 17) - 8) / 8.0
+        elif codec == 3:
+            want = _ALAW_LUT[(i * 11 + j * 23) % 256] / 32768.0
+        elif codec == 4:
+            want = _ULAW_LUT[(i * 7 + j * 31) % 256] / 32768.0
+        else:
+            words, nblocks = 2 + i % 3, 1 + i % 3
+            fact_n = nblocks * (1 + 8 * words - (i % 4)) - (i % 5)
+            want = np.full(fact_n, (((i * 41) % 3000) - 1500) / 32768.0)
+        assert m == len(want)
+        np.testing.assert_array_equal(mono, want)
