@@ -656,21 +656,54 @@ def unpivot_supplier(spark, sf_dir):
     "scan_snapshot",
     # S2 time travel IS value-checkable: snapshot 1 is committed as exactly
     # the doc_id<100 slice, snapshot 2 as the full table — reading snapshot
-    # 1 back must return the old file set, i.e. precisely this SQL
-    "SELECT doc_id, source FROM documents WHERE doc_id < 100",
+    # 1 back must return the old file set, i.e. precisely this SQL.
+    # S7 warc leg: the .warc.gz fixture is a pure function of i (see
+    # spiderspark.warc.synthetic_warc_bytes), so every field the reader
+    # decodes — target URI, WARC-Date, HTTP status through chunked/gzip
+    # transfer decoding, body byte length, request/warcinfo records
+    # SKIPPED — is stated closed-form and rides the driver's value hash.
+    "SELECT doc_id, source, 'snapshot' AS tier FROM documents "
+    "WHERE doc_id < 100 "
+    "UNION ALL SELECT CAST(i AS BIGINT) AS doc_id, "
+    "printf('%d|text/html|%d|2026-01-%02d', "
+    "CASE WHEN i % 11 = 10 THEN 404 ELSE 200 END, "
+    "length('<html>page ' || i || '</html>') + (i % 5), "
+    "1 + i % 28) AS source, 'warc' AS tier FROM range(48) t(i)",
 )
 def scan_snapshot(spark, sf_dir):
     """Commit two snapshots of a documents sample, then read the FIRST one
-    back — proves snapshot-id time travel returns the old file set."""
+    back — proves snapshot-id time travel returns the old file set. The
+    second leg ingests a deterministic Common-Crawl-style .warc.gz through
+    the from-scratch WARC reader (S7) and packs every decoded field into
+    the hash-checked `source` string."""
+    import os
     import tempfile
 
     from .snapshots import ParquetManifestStore
+    from .warc import synthetic_warc_bytes, warc_pages
 
     store = ParquetManifestStore(tempfile.mkdtemp(prefix="spiderq-snap-"))
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
     s1 = store.commit({"docs": docs.filter(F.col("doc_id") < 100)}, 1, None)
     store.commit({"docs": docs}, 2, s1)
-    return store.read(spark, s1, "docs")
+    snap = store.read(spark, s1, "docs").withColumn(
+        "tier", F.lit("snapshot")
+    )
+    d = tempfile.mkdtemp(prefix="spiderq-warc-")
+    with open(os.path.join(d, "seg-00000.warc.gz"), "wb") as f:
+        f.write(synthetic_warc_bytes(48))
+    warc = warc_pages(spark, os.path.join(d, "*.warc.gz")).select(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.format_string(
+            "%d|%s|%d|%s",
+            "http_status",
+            "content_type",
+            F.length("html"),
+            F.date_format("warc_ts", "yyyy-MM-dd"),
+        ).alias("source"),
+        F.lit("warc").alias("tier"),
+    )
+    return snap.unionByName(warc)
 
 
 @q(

@@ -1,0 +1,317 @@
+"""WARC/1.0 container source — Common Crawl's native wire format, read and
+written from scratch (stdlib ``zlib`` + ``struct``-free byte walking, no
+warcio). Public specs implemented:
+
+- **ISO 28500 / WARC 1.0**: ``WARC/1.0`` header block (named fields,
+  ``Content-Length``-framed record block, CRLF CRLF record terminator),
+  record types (``response`` carried to the pages table; ``warcinfo`` /
+  ``request`` / ``metadata`` skipped), and the Common-Crawl storage
+  convention of ONE GZIP MEMBER PER RECORD concatenated into a ``.warc.gz``
+  (members concatenate transparently, so the reader inflates the whole
+  stream and re-frames on Content-Length).
+- **RFC 9112 §7.1**: chunked transfer decoding of the stored HTTP response
+  (hex size line, chunk bytes, CRLF, zero-size terminator).
+- **RFC 9110 §8.4.1**: ``Content-Encoding: gzip | deflate`` payload
+  decompression (zlib wbits auto-detect).
+
+Spark surface: :func:`warc_pages` reads a glob of ``.warc`` / ``.warc.gz``
+files via the ``binaryFile`` source and parses them in one ``mapInPandas``
+pass — one task per file, which matches Common Crawl's layout (a crawl is
+~64k segment files of ~1 GB: file-level parallelism saturates any cluster
+without intra-file splitting). For single-huge-file corpora the per-record
+gzip members make byte-range splitting possible (scan for the next
+``\\x1f\\x8b\\x08`` member magic and resync) — documented seam, same stance
+as the codec seams in :mod:`spiderspark.multimodal`.
+
+The forward encoder (:func:`build_warc`) exists for the same two jobs as
+:mod:`spiderspark.encoders`: spec-inverse tests, and closed-form driver
+fixtures (the ``warc`` leg of the ``scan_snapshot`` contract query builds a
+deterministic .warc.gz from ``range(n)`` and the DuckDB oracle states every
+decoded field in plain SQL).
+"""
+
+from __future__ import annotations
+
+import datetime
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_CRLF = b"\r\n"
+
+
+# ---------------------------------------------------------------------------
+# forward encoder
+# ---------------------------------------------------------------------------
+
+
+def build_http_response(
+    status: int = 200,
+    reason: str = "OK",
+    headers: list[tuple[str, str]] | None = None,
+    body: bytes = b"",
+    chunked: bool = False,
+    gzip_body: bool = False,
+) -> bytes:
+    """Raw HTTP/1.1 response bytes as a WARC response record stores them."""
+    hdrs = list(headers or [])
+    payload = body
+    if gzip_body:
+        payload = zlib.compress(payload, 6, wbits=31)
+        hdrs.append(("Content-Encoding", "gzip"))
+    if chunked:
+        hdrs.append(("Transfer-Encoding", "chunked"))
+        out = bytearray()
+        # split into uneven chunks so the de-chunker sees >1 size line
+        step = max(1, len(payload) // 3 or 1)
+        for off in range(0, len(payload), step):
+            part = payload[off : off + step]
+            out += f"{len(part):x}".encode() + _CRLF + part + _CRLF
+        out += b"0" + _CRLF + _CRLF
+        wire_body = bytes(out)
+    else:
+        hdrs.append(("Content-Length", str(len(payload))))
+        wire_body = payload
+    head = f"HTTP/1.1 {status} {reason}".encode() + _CRLF
+    head += b"".join(f"{k}: {v}".encode() + _CRLF for k, v in hdrs)
+    return head + _CRLF + wire_body
+
+
+def build_warc_record(
+    warc_type: str,
+    block: bytes,
+    url: str | None = None,
+    date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+    gzip_member: bool = False,
+) -> bytes:
+    """One WARC/1.0 record; ``gzip_member`` wraps it in its own gzip member
+    (the Common Crawl .warc.gz convention)."""
+    fields = [("WARC-Type", warc_type), ("WARC-Date", date)]
+    if url is not None:
+        fields.append(("WARC-Target-URI", url))
+    fields += [
+        ("WARC-Record-ID", f"<urn:uuid:{abs(hash((warc_type, url, date))):032x}>"),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(block))),
+    ]
+    rec = b"WARC/1.0" + _CRLF
+    rec += b"".join(f"{k}: {v}".encode() + _CRLF for k, v in fields)
+    rec += _CRLF + block + _CRLF + _CRLF
+    if gzip_member:
+        return zlib.compress(rec, 6, wbits=31)
+    return rec
+
+
+def build_warc(records: list[bytes]) -> bytes:
+    """Concatenate pre-built records (mixing plain and gzip members is
+    INVALID per spec — callers pick one convention per file)."""
+    return b"".join(records)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+
+def _inflate_members(buf: bytes) -> bytes:
+    """Inflate a multi-member gzip stream (one member per record is the
+    Common Crawl convention; members concatenate transparently)."""
+    out = bytearray()
+    rest = buf
+    while rest:
+        d = zlib.decompressobj(31)
+        out += d.decompress(rest)
+        out += d.flush()
+        if not d.eof:  # truncated final member
+            raise ValueError("truncated gzip member")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def _parse_headers(buf: bytes, pos: int) -> tuple[dict, int]:
+    """Parse CRLF-terminated ``Name: value`` lines until the blank line;
+    returns (lowercase-keyed dict, position after the blank line)."""
+    headers: dict[str, str] = {}
+    while True:
+        end = buf.index(_CRLF, pos)
+        line = buf[pos:end]
+        pos = end + 2
+        if not line:
+            return headers, pos
+        k, _, v = line.partition(b":")
+        headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked decoding."""
+    out = bytearray()
+    pos = 0
+    while True:
+        end = body.index(_CRLF, pos)
+        size = int(body[pos:end].split(b";")[0], 16)  # ignore extensions
+        pos = end + 2
+        if size == 0:
+            return bytes(out)
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != _CRLF:
+            raise ValueError("bad chunk terminator")
+        pos += size + 2
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict, bytes]:
+    """Stored HTTP response bytes → (status, headers, decoded body):
+    de-chunks Transfer-Encoding: chunked, inflates Content-Encoding
+    gzip/deflate (zlib wbits auto-detect)."""
+    line_end = block.index(_CRLF)
+    parts = block[:line_end].split(b" ", 2)
+    if not parts[0].startswith(b"HTTP/"):
+        raise ValueError("not an HTTP response")
+    status = int(parts[1])
+    headers, pos = _parse_headers(block, line_end + 2)
+    body = block[pos:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        body = body[: int(headers["content-length"])]
+    enc = headers.get("content-encoding", "").lower()
+    if enc in ("gzip", "deflate"):
+        body = zlib.decompress(body, 47)  # auto-detect zlib/gzip wrapper
+    return status, headers, body
+
+
+def parse_warc(buf: bytes) -> list[dict]:
+    """All records of a .warc / .warc.gz byte string. Each dict carries
+    warc_type, url, warc_ts (tz-aware datetime | None), and — for response
+    records — http_status, content_type (the HTTP payload's), html (the
+    decoded body bytes). Non-HTTP blocks keep the raw block under html."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = _inflate_members(buf)
+    records = []
+    pos = 0
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"bad record header at byte {pos}")
+        ver_end = buf.index(_CRLF, pos)
+        headers, body_pos = _parse_headers(buf, ver_end + 2)
+        length = int(headers["content-length"])
+        block = buf[body_pos : body_pos + length]
+        if len(block) != length:
+            raise ValueError("truncated record block")
+        pos = body_pos + length
+        if buf[pos : pos + 4] != _CRLF + _CRLF:
+            raise ValueError("missing record terminator")
+        pos += 4
+        rec: dict = {
+            "warc_type": headers.get("warc-type", ""),
+            "url": headers.get("warc-target-uri"),
+            "warc_ts": None,
+            "http_status": None,
+            "content_type": headers.get("content-type"),
+            "html": block,
+        }
+        if "warc-date" in headers:
+            rec["warc_ts"] = datetime.datetime.fromisoformat(
+                headers["warc-date"].replace("Z", "+00:00")
+            )
+        if rec["warc_type"] == "response" and block[:5] == b"HTTP/":
+            status, http_headers, body = parse_http_response(block)
+            rec["http_status"] = status
+            rec["content_type"] = http_headers.get("content-type")
+            rec["html"] = body
+        records.append(rec)
+    return records
+
+
+WARC_PAGES = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("html", T.BinaryType()),
+    ]
+)
+
+
+def warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Read a glob of .warc / .warc.gz files → one row per RESPONSE record
+    (the Common-Crawl-style pages shape; join :func:`extract_text_udf` /
+    langid downstream for the full input_hint schema). One binaryFile task
+    per file — see the module docstring for the scale story."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in WARC_PAGES.fields}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content)):
+                    if rec["warc_type"] != "response":
+                        continue
+                    rows["warc_file"].append(path_)
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["http_status"].append(rec["http_status"])
+                    rows["content_type"].append(rec["content_type"])
+                    rows["html"].append(rec["html"])
+            yield pd.DataFrame(rows)
+
+    files = (
+        spark.read.format("binaryFile").load(path).select("path", "content")
+    )
+    return files.mapInPandas(gen, schema=WARC_PAGES)
+
+
+# ---------------------------------------------------------------------------
+# deterministic driver fixture: a .warc.gz that is a pure function of n
+# ---------------------------------------------------------------------------
+
+
+def synthetic_warc_bytes(n: int = 48) -> bytes:
+    """One .warc.gz (per-record gzip members) with a warcinfo record, then
+    per i < n: a request record (must be SKIPPED by warc_pages) every 6th
+    row, and a response record with url http://w{i%7}.example/p/{i},
+    WARC-Date 2026-01-{1+i%28}, status 200/404 (i%11==10), body
+    b'<html>page {i}</html>' + (i%5) b'!' padding — stored plain (i%3==0),
+    chunked (i%3==1), or gzip Content-Encoding (i%3==2). Every decoded
+    field is a closed-form function of i (see the scan_snapshot oracle)."""
+    recs = [
+        build_warc_record(
+            "warcinfo",
+            b"software: spiderspark\r\n",
+            content_type="application/warc-fields",
+            gzip_member=True,
+        )
+    ]
+    for i in range(n):
+        url = f"http://w{i % 7}.example/p/{i}"
+        date = f"2026-01-{1 + i % 28:02d}T00:00:00Z"
+        if i % 6 == 5:
+            recs.append(
+                build_warc_record(
+                    "request",
+                    b"GET /p/%d HTTP/1.1\r\nHost: x\r\n\r\n" % i,
+                    url=url,
+                    date=date,
+                    content_type="application/http; msgtype=request",
+                    gzip_member=True,
+                )
+            )
+        status, reason = (404, "Not Found") if i % 11 == 10 else (200, "OK")
+        body = f"<html>page {i}</html>".encode() + b"!" * (i % 5)
+        http = build_http_response(
+            status,
+            reason,
+            headers=[("Content-Type", "text/html")],
+            body=body,
+            chunked=i % 3 == 1,
+            gzip_body=i % 3 == 2,
+        )
+        recs.append(
+            build_warc_record(
+                "response", http, url=url, date=date, gzip_member=True
+            )
+        )
+    return build_warc(recs)

@@ -1,0 +1,164 @@
+"""WARC/1.0 container source: spec-inverse roundtrips against the forward
+encoder (ISO 28500 record framing, Common-Crawl per-record gzip members,
+RFC 9112 chunked decoding, RFC 9110 Content-Encoding), skip semantics for
+non-response records, loud-fail error paths, and the Spark binaryFile →
+mapInPandas read surface."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import zlib
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from spiderspark.warc import (
+    build_http_response,
+    build_warc,
+    build_warc_record,
+    parse_http_response,
+    parse_warc,
+    synthetic_warc_bytes,
+    warc_pages,
+)
+
+UTC = datetime.timezone.utc
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    body=st.binary(max_size=4096),
+    status=st.sampled_from([200, 301, 404, 500]),
+    chunked=st.booleans(),
+    gzip_body=st.booleans(),
+    gzip_member=st.booleans(),
+    day=st.integers(1, 28),
+)
+def test_response_roundtrip(body, status, chunked, gzip_body, gzip_member, day):
+    url = "http://example.test/p/1?q=2"
+    date = f"2026-03-{day:02d}T12:34:56Z"
+    http = build_http_response(
+        status, "X", headers=[("Content-Type", "text/html; charset=utf-8")],
+        body=body, chunked=chunked, gzip_body=gzip_body,
+    )
+    rec = build_warc_record(
+        "response", http, url=url, date=date, gzip_member=gzip_member
+    )
+    (out,) = parse_warc(rec)
+    assert out["warc_type"] == "response"
+    assert out["url"] == url
+    assert out["http_status"] == status
+    assert out["content_type"] == "text/html; charset=utf-8"
+    assert out["html"] == body
+    assert out["warc_ts"] == datetime.datetime(2026, 3, day, 12, 34, 56, tzinfo=UTC)
+
+
+def test_multi_record_and_skip_types():
+    recs = [
+        build_warc_record(
+            "warcinfo", b"software: x\r\n",
+            content_type="application/warc-fields",
+        ),
+        build_warc_record(
+            "request", b"GET / HTTP/1.1\r\n\r\n", url="http://a/",
+            content_type="application/http; msgtype=request",
+        ),
+        build_warc_record(
+            "response", build_http_response(body=b"hi"), url="http://a/"
+        ),
+        build_warc_record(
+            "metadata", b"via: http://b/\r\n", url="http://a/",
+            content_type="application/warc-fields",
+        ),
+    ]
+    out = parse_warc(build_warc(recs))
+    assert [r["warc_type"] for r in out] == [
+        "warcinfo", "request", "response", "metadata"
+    ]
+    # non-HTTP blocks keep raw bytes; only the response is HTTP-decoded
+    assert out[0]["html"] == b"software: x\r\n"
+    assert out[2]["html"] == b"hi"
+
+
+def test_http_content_length_truncates_trailing_bytes():
+    # stored block may carry bytes past Content-Length (e.g. peer junk);
+    # the decoded body must honor the header
+    http = build_http_response(body=b"abcdef")
+    status, headers, body = parse_http_response(http + b"JUNK")
+    assert (status, body) == (200, b"abcdef")
+
+
+def test_deflate_content_encoding():
+    payload = b"x" * 300
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+        + b"Content-Length: %d\r\n\r\n" % len(zlib.compress(payload))
+        + zlib.compress(payload)
+    )
+    assert parse_http_response(http)[2] == payload
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda b: b[:-2],                       # missing record terminator
+        lambda b: b"XARC" + b[4:],              # bad magic
+        lambda b: zlib.compress(b, 6, wbits=31)[:-4],  # truncated gzip member
+    ],
+)
+def test_malformed_warc_raises(mutate):
+    rec = build_warc_record(
+        "response", build_http_response(body=b"hi"), url="http://a/"
+    )
+    with pytest.raises((ValueError, zlib.error)):
+        parse_warc(mutate(rec))
+
+
+def test_bad_chunk_terminator_raises():
+    http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"3\r\nabcXX0\r\n\r\n"
+    )
+    with pytest.raises(ValueError):
+        parse_http_response(http)
+
+
+def test_synthetic_fixture_contract():
+    """Every response record of the driver fixture decodes to its
+    closed-form fields (the same facts the scan_snapshot oracle states)."""
+    recs = parse_warc(synthetic_warc_bytes(48))
+    responses = [r for r in recs if r["warc_type"] == "response"]
+    assert len(responses) == 48
+    assert sum(r["warc_type"] == "request" for r in recs) == 8
+    for i, r in enumerate(responses):
+        assert r["url"] == f"http://w{i % 7}.example/p/{i}"
+        assert r["http_status"] == (404 if i % 11 == 10 else 200)
+        assert r["html"] == f"<html>page {i}</html>".encode() + b"!" * (i % 5)
+        assert r["warc_ts"] == datetime.datetime(2026, 1, 1 + i % 28, tzinfo=UTC)
+
+
+def test_warc_pages_spark_read(spark, tmp_path):
+    """binaryFile → mapInPandas surface: responses only, both plain .warc
+    and .warc.gz files in one glob, schema stable."""
+    gz = synthetic_warc_bytes(12)
+    plain = build_warc(
+        [
+            build_warc_record(
+                "response",
+                build_http_response(body=b"plainfile"),
+                url="http://plain.example/p/999",
+                date="2026-02-02T00:00:00Z",
+            )
+        ]
+    )
+    (tmp_path / "a.warc.gz").write_bytes(gz)
+    (tmp_path / "b.warc").write_bytes(plain)
+    df = warc_pages(spark, os.path.join(str(tmp_path), "*.warc*"))
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 13  # 12 responses + 1 plain; requests/warcinfo skipped
+    assert bytes(rows["http://plain.example/p/999"]["html"]) == b"plainfile"
+    assert bytes(rows["http://w3.example/p/3"]["html"]) == (
+        b"<html>page 3</html>" + b"!" * 3
+    )
+    assert rows["http://w0.example/p/0"]["http_status"] == 200
