@@ -315,3 +315,25 @@ def synthetic_warc_bytes(n: int = 48) -> bytes:
             )
         )
     return build_warc(recs)
+
+
+def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """WARC glob → the full input-hint pages schema
+    ``(url, warc_ts, html, text, lang)``: successful (2xx) responses run
+    through the SAME pinned HTML→text kernel the crawl loop uses (P6,
+    byte-identity invariant) and the trigram language-ID profile (L1) —
+    so a Common-Crawl drop-in corpus is one call away from every operator
+    in the engine. Both downstream kernels are vectorized pandas UDFs; the
+    parse itself stays the one mapInPandas pass of :func:`warc_pages`."""
+    from .crawl import extract_text_udf
+    from .textops import langid_udf
+
+    pages = warc_pages(spark, path).filter(
+        (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    )
+    return pages.select(
+        "url",
+        "warc_ts",
+        "html",
+        extract_text_udf("html").alias("text"),
+    ).withColumn("lang", langid_udf(F.col("text")))

@@ -162,3 +162,31 @@ def test_warc_pages_spark_read(spark, tmp_path):
         b"<html>page 3</html>" + b"!" * 3
     )
     assert rows["http://w0.example/p/0"]["http_status"] == 200
+
+
+def test_warc_corpus_full_schema(spark, tmp_path):
+    """warc_corpus emits the input-hint pages schema with the SAME pinned
+    text kernel the crawl uses (byte-identity invariant) and a lang
+    prediction; non-2xx responses are dropped."""
+    from spiderspark.canon import extract_text_series
+    from spiderspark.warc import warc_corpus
+    import pandas as pd
+
+    (tmp_path / "c.warc.gz").write_bytes(synthetic_warc_bytes(24))
+    df = warc_corpus(spark, os.path.join(str(tmp_path), "*.warc.gz"))
+    assert [f.name for f in df.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    rows = df.collect()
+    dropped = {10, 21}  # the i % 11 == 10 rows are 404s in range(24)
+    assert len(rows) == 24 - len(dropped)
+    by_url = {r["url"]: r for r in rows}
+    for i in range(24):
+        url = f"http://w{i % 7}.example/p/{i}"
+        if i in dropped:
+            assert url not in by_url
+            continue
+        html = f"<html>page {i}</html>".encode() + b"!" * (i % 5)
+        want_text = extract_text_series(pd.Series([html]))[0]
+        assert by_url[url]["text"] == want_text
+        assert isinstance(by_url[url]["lang"], str)
