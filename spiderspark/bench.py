@@ -330,8 +330,16 @@ def run_crawl_bench(spark, corpus_size: int = 200_000, rounds: int = 3) -> dict:
         w = ShuffleWindow(spark).start()
         tr = time.time()
         state, schedule, log = crawl_round(spark, state, pages_k, config)
-        n_sched = schedule.count()
-        n_fetch = log.filter(F.col("status") == "fetched").count()
+        # one partition-local agg over the pinned fetch checkpoint gives
+        # both round counts (fetch_log is a narrow projection of schedule ∘
+        # fetch, so count(log) == count(schedule)) — two count() jobs were
+        # a measurable slice of the per-round serial term (docs/PLANS.md
+        # "Full crawl-round serial term")
+        n_sched, n_fetch = log.agg(
+            F.count(F.lit(1)),
+            F.count_if(F.col("status") == "fetched"),
+        ).first()
+        n_fetch = int(n_fetch or 0)
         stat = {
             "wall_s": round(time.time() - tr, 3),
             "scheduled": n_sched,
@@ -608,7 +616,11 @@ The end-to-end loop (schedule + fetch join + byte-identical text
 extraction + outlink discovery + state update + politeness accounting)
 over a synthetic parquet corpus of {corpora},
 {r_hi['detail']['rounds']} rounds, at two CPU-pinned parallelism levels
-in fresh JVMs (interleaved passes, best-of per level).
+in fresh JVMs (interleaved passes, best-of per level). Per-host
+politeness budget: {os.environ.get('SPIDERSPARK_BENCH_BUDGET', '2000')}
+(raise via SPIDERSPARK_BENCH_BUDGET so the frontier, not politeness,
+binds — the DEFAULT budget caps round volume on Zipf-head hosts and the
+pair degenerates to a fixed-cost measurement).
 
 | cores | pages fetched/s | urls scheduled/s | wall s | fetched | steal frac |
 | --- | --- | --- | --- | --- | --- |
