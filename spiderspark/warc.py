@@ -337,3 +337,110 @@ def warc_corpus(spark: SparkSession, path: str) -> DataFrame:
         "html",
         extract_text_udf("html").alias("text"),
     ).withColumn("lang", langid_udf(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# WET export sink (Common Crawl "conversion" records) + reader
+# ---------------------------------------------------------------------------
+
+
+def wet_record(url: str, date_iso: str, text: str) -> bytes:
+    """One WET conversion record (ISO 28500 §6.8: the text extracted from a
+    response record), as its own gzip member per the .wet.gz convention."""
+    return build_warc_record(
+        "conversion",
+        text.encode("utf-8"),
+        url=url,
+        date=date_iso,
+        content_type="text/plain",
+        gzip_member=True,
+    )
+
+
+WET_MANIFEST = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def write_wet(df: DataFrame, out_dir: str, text_col: str = "text") -> DataFrame:
+    """Distributed WET sink: every partition of ``df`` (needs url, warc_ts,
+    ``text_col``) writes ONE ``part-<pid>.warc.gz`` of conversion records
+    into ``out_dir`` — task-local tmp file + atomic rename, same commit
+    stance as the snapshot store — and the returned (eager) manifest
+    DataFrame carries per-partition lineage (path, record count, bytes),
+    mirroring the fetch-metrics sink. Reading back via :func:`wet_texts`
+    restores the texts byte-identically (round-trip pinned in tests)."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def run(batches):
+        import pandas as pd  # noqa: F811 (worker-side)
+
+        pid = None
+        blobs = []
+        n = 0
+        for pdf in batches:
+            if len(pdf) and pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf[text_col]):
+                date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+                blobs.append(wet_record(url, date, text or ""))
+                n += 1
+        if pid is None:  # empty partition: no file, no manifest row
+            return
+        out = b"".join(blobs)
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(out)
+        os.rename(tmp, path)
+        yield pd.DataFrame(
+            {
+                "path": [path],
+                "partition_id": [pid],
+                "n_records": [n],
+                "n_bytes": [len(out)],
+            }
+        )
+
+    manifest = (
+        df.select("url", "warc_ts", text_col)
+        .withColumn("pid", F.spark_partition_id())
+        .mapInPandas(run, schema=WET_MANIFEST)
+    )
+    manifest = manifest.localCheckpoint()  # run the write exactly once, now
+    return manifest
+
+
+def wet_texts(spark: SparkSession, path: str) -> DataFrame:
+    """Read WET files back: one row per conversion record
+    (url, warc_ts, text)."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType()),
+            T.StructField("warc_ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "text": []}
+            for content in pdf["content"]:
+                for rec in parse_warc(bytes(content)):
+                    if rec["warc_type"] != "conversion":
+                        continue
+                    rows["url"].append(rec["url"])
+                    rows["warc_ts"].append(rec["warc_ts"])
+                    rows["text"].append(rec["html"].decode("utf-8"))
+            yield pd.DataFrame(rows)
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(gen, schema=schema)

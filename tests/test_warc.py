@@ -190,3 +190,27 @@ def test_warc_corpus_full_schema(spark, tmp_path):
         want_text = extract_text_series(pd.Series([html]))[0]
         assert by_url[url]["text"] == want_text
         assert isinstance(by_url[url]["lang"], str)
+
+
+def test_wet_roundtrip(spark, tmp_path):
+    """write_wet → wet_texts restores (url, warc_ts, text) byte-identically,
+    one .warc.gz per non-empty partition, manifest counts exact."""
+    from spiderspark.warc import warc_corpus, wet_texts, write_wet
+
+    (tmp_path / "in.warc.gz").write_bytes(synthetic_warc_bytes(24))
+    corpus = warc_corpus(spark, os.path.join(str(tmp_path), "*.warc.gz"))
+    corpus = corpus.repartition(3, "url")
+    out_dir = str(tmp_path / "wet")
+    manifest = write_wet(corpus, out_dir)
+    m = manifest.collect()
+    assert sum(r["n_records"] for r in m) == 22  # 24 minus two 404s
+    assert all(r["path"].endswith(".warc.gz") for r in m)
+    assert len(m) <= 3 and len(set(r["partition_id"] for r in m)) == len(m)
+    back = wet_texts(spark, os.path.join(out_dir, "*.warc.gz"))
+    want = {
+        (r["url"], r["warc_ts"], r["text"]) for r in corpus.select(
+            "url", "warc_ts", "text"
+        ).collect()
+    }
+    got = {(r["url"], r["warc_ts"], r["text"]) for r in back.collect()}
+    assert got == want
