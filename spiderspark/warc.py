@@ -444,3 +444,108 @@ def wet_texts(spark: SparkSession, path: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(path).select("content")
     return files.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# CDX-style URL index + random-access record fetch
+# ---------------------------------------------------------------------------
+
+
+def iter_warc_spans(buf: bytes):
+    """Yield ``(offset, length, records)`` per storage unit — one gzip
+    member of a .warc.gz (the Common Crawl convention stores one record
+    per member precisely so an index can address members by byte range),
+    or one record of a plain .warc. Offsets/lengths are positions in the
+    FILE bytes, i.e. exactly what a CDX line stores."""
+    if buf[:2] == b"\x1f\x8b":
+        pos = 0
+        while pos < len(buf):
+            d = zlib.decompressobj(31)
+            body = d.decompress(buf[pos:]) + d.flush()
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            consumed = len(buf) - pos - len(d.unused_data)
+            yield pos, consumed, parse_warc(body)
+            pos += consumed
+        return
+    pos = 0
+    while pos < len(buf):
+        nxt = buf.find(b"WARC/", pos + 1)
+        end = nxt if nxt != -1 else len(buf)
+        yield pos, end - pos, parse_warc(buf[pos:end])
+        pos = end
+
+
+def read_warc_record(path: str, offset: int, length: int) -> dict:
+    """Random-access fetch of ONE record by its index span — seek + read
+    ``length`` bytes, no scan of the rest of the file (the CDX access
+    pattern; works on a .warc.gz member or a plain .warc record)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        chunk = f.read(length)
+    (rec,) = parse_warc(chunk)
+    return rec
+
+
+WARC_INDEX = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("record_length", T.LongType()),
+    ]
+)
+
+
+def warc_index(spark: SparkSession, path: str) -> DataFrame:
+    """Build a CDX-style index of a WARC glob in one distributed pass:
+    one row per response record with its byte span (random-access fetch
+    via :func:`read_warc_record`), payload SHA-1 in the CDX base-32
+    convention, and the engine's canonical key space — ``url_norm`` /
+    ``url_hash`` / ``host`` from the SAME RFC-3986 kernel the frontier
+    uses, so a crawl can pre-seed its URL-seen set straight from the
+    index (anti-join on url_hash) or politeness-partition it by host.
+    Sort-and-write the result as parquet for the classic CDX layout."""
+    import base64
+    import hashlib
+
+    from .frontier import with_canonical
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in WARC_INDEX.fields}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                for off, length, recs in iter_warc_spans(bytes(content)):
+                    for rec in recs:
+                        if rec["warc_type"] != "response":
+                            continue
+                        rows["url"].append(rec["url"])
+                        rows["warc_ts"].append(rec["warc_ts"])
+                        rows["http_status"].append(rec["http_status"])
+                        rows["digest"].append(
+                            base64.b32encode(
+                                hashlib.sha1(rec["html"]).digest()
+                            ).decode()
+                        )
+                        rows["warc_file"].append(path_)
+                        rows["record_offset"].append(off)
+                        rows["record_length"].append(length)
+            yield pd.DataFrame(rows)
+
+    raw = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema=WARC_INDEX)
+    )
+    # jvm_fast=False: the upstream re-parses every WARC file per scan, so
+    # the two-scan JVM gate would double the parse work (contract note in
+    # with_canonical's docstring)
+    return with_canonical(raw, jvm_fast=False).select(
+        "url", "url_norm", "url_hash", "host",
+        "warc_ts", "http_status", "digest",
+        "warc_file", "record_offset", "record_length",
+    )

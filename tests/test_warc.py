@@ -214,3 +214,69 @@ def test_wet_roundtrip(spark, tmp_path):
     }
     got = {(r["url"], r["warc_ts"], r["text"]) for r in back.collect()}
     assert got == want
+
+
+def test_iter_warc_spans_random_access():
+    """Every span of the gzip fixture re-reads to the SAME record by plain
+    seek+read — the CDX access pattern — for .warc.gz AND plain .warc."""
+    from spiderspark.warc import iter_warc_spans, read_warc_record
+
+    for as_gz in (True, False):
+        if as_gz:
+            buf = synthetic_warc_bytes(12)
+        else:
+            buf = build_warc(
+                [
+                    build_warc_record(
+                        "response",
+                        build_http_response(body=b"b%d" % i),
+                        url=f"http://p.example/{i}",
+                    )
+                    for i in range(5)
+                ]
+            )
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".warc", delete=False) as f:
+            f.write(buf)
+            path = f.name
+        spans = list(iter_warc_spans(buf))
+        assert spans[-1][0] + spans[-1][1] == len(buf)  # spans tile the file
+        seq = parse_warc(buf)
+        flat = [r for _, _, recs in spans for r in recs]
+        assert [r["url"] for r in flat] == [r["url"] for r in seq]
+        for off, length, recs in spans:
+            got = read_warc_record(path, off, length)
+            assert got["url"] == recs[0]["url"]
+            assert got["html"] == recs[0]["html"]
+        os.unlink(path)
+
+
+def test_warc_index_spark(spark, tmp_path):
+    """Distributed CDX build: spans fetch back the right records, digests
+    are the payload SHA-1 (base-32), and the index lands in the engine's
+    canonical key space (url_norm/url_hash/host)."""
+    import base64
+    import hashlib
+
+    from spiderspark.warc import read_warc_record, warc_index
+
+    (tmp_path / "seg.warc.gz").write_bytes(synthetic_warc_bytes(24))
+    idx = warc_index(spark, os.path.join(str(tmp_path), "*.warc.gz"))
+    rows = idx.collect()
+    assert len(rows) == 24
+    for r in rows:
+        rec = read_warc_record(r["warc_file"].replace("file:", ""),
+                               r["record_offset"], r["record_length"])
+        assert rec["url"] == r["url"]
+        want = base64.b32encode(hashlib.sha1(rec["html"]).digest()).decode()
+        assert r["digest"] == want
+        assert r["host"].startswith("w") and r["url_norm"].startswith("http://")
+        assert r["url_hash"] is not None
+    # the canonical key space joins against the frontier's: xxhash64(url_norm)
+    from pyspark.sql import functions as F
+
+    chk = idx.withColumn("h2", F.xxhash64("url_norm")).filter(
+        F.col("h2") != F.col("url_hash")
+    )
+    assert chk.count() == 0
