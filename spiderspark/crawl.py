@@ -678,6 +678,119 @@ def crawl_round(
     return new_state, schedule, fetch_log
 
 
+def mark_seen(
+    spark: SparkSession,
+    state: CrawlState,
+    keys_df: DataFrame,
+    config: CrawlConfig,
+) -> CrawlState:
+    """Pre-seed the URL-seen set, coherent across EVERY representation the
+    state carries — the additive dual of :func:`forget_urls`. Use cases:
+    continuing someone else's crawl, or seeding straight from a
+    Common-Crawl CDX index (``spiderspark.warc.warc_index`` emits exactly
+    the required key shape): ``mark_seen(spark, state,
+    index.select("url_hash", "url_norm", "host"), config)``.
+
+    ``keys_df``: url_hash, url_norm, host. Semantics are EXACTLY the
+    crawl_round newly-seen path: already-seen keys are dropped (segments
+    stay disjoint), the remainder is appended to the exact table, routed
+    into the scheduler-layout mirror, folded into the sketch delta (bloom
+    AND cuckoo — insertion is additive), and matching frontier rows are
+    PRUNED through the same co-partitioned anti-joins as schedule removal,
+    so state never carries rows that can no longer schedule.
+
+    Cost/scale: O(keys) exchange to route the batch; stored segments are
+    probed/rewritten with zero exchange and zero sort on their side."""
+    mat = _keyed_mat(config, state.workdir)
+    n = state.seen.n_parts
+    batch_id = state.batch_id
+
+    keys = keys_df.select("url_hash", "url_norm", "host").dropDuplicates(
+        ["url_hash"]
+    )
+    keyed = materialize_keyed(keys, n_parts=n, key=state.seen.key)
+    # genuinely-new keys only (keyed layout survives the anti-joins)
+    new_keys = mat(
+        state.seen.anti_probe(keyed), n_parts=n, repartition=False
+    )
+    if new_keys.isEmpty():
+        return state
+
+    seen = state.seen.append(
+        mat(
+            new_keys.select(
+                "url_hash", F.lit(batch_id).cast("long").alias("first_batch")
+            ),
+            n_parts=n,
+            repartition=False,
+            sort=state.seen.sort_cols,
+        )
+    ).maybe_compact(
+        config.max_segments, materializer=lambda df: mat(df, n_parts=n)
+    )
+
+    routed = assign_salts_static(
+        new_keys.withColumn("host_bucket", host_bucket_col(F.col("host"))),
+        state.salts,
+    ).repartition(n, *FRONTIER_KEY)
+
+    seen_sched = state.seen_sched
+    if seen_sched is not None:
+        seen_sched = seen_sched.append(
+            mat(
+                routed.select("host_bucket", "salt", "url_hash"),
+                n_parts=n,
+                key=FRONTIER_KEY,
+                repartition=False,
+                sort=seen_sched.sort_cols,
+            )
+        ).maybe_compact(
+            config.max_segments,
+            materializer=lambda df: mat(
+                df, n_parts=n, key=FRONTIER_KEY,
+                sort=state.seen_sched.sort_cols,
+            ),
+        )
+
+    sketch = state.sketch
+    if sketch is not None:
+        sketch_path = os.path.join(
+            state.workdir, f"sketch_seed_{batch_id:06d}_{len(sketch.paths)}"
+        )
+        for_sketch = (
+            routed
+            if tuple(sketch.routing) == FRONTIER_KEY
+            else routed.repartition(n, *sketch.routing)
+        )
+        sketch = write_sketch_delta(
+            for_sketch, sketch_path, sketch, assume_keyed_layout=True
+        )
+
+    # prune now-unschedulable frontier rows (same co-partitioned anti-join
+    # class as crawl_round's schedule removal)
+    fr_keys = routed.select(*state.frontier.join_cols).repartition(
+        n, *state.frontier.keys
+    )
+    f_sort = state.frontier.sort_cols
+    segments = materialize_many(
+        [
+            (lambda p=p: mat(
+                p.join(fr_keys, state.frontier.join_cols, "left_anti"),
+                n_parts=n, key=FRONTIER_KEY, repartition=False, sort=f_sort,
+            ))
+            for p in state.frontier.segments
+        ]
+    )
+    frontier = SegmentedTable(
+        tuple(segments), n_parts=n, key=state.frontier.key
+    )
+
+    return replace(
+        state, seen=seen, seen_sched=seen_sched, sketch=sketch,
+        frontier=frontier,
+    )
+
+
 def forget_urls(
     spark: SparkSession,
     state: CrawlState,
