@@ -549,3 +549,31 @@ def warc_index(spark: SparkSession, path: str) -> DataFrame:
         "warc_ts", "http_status", "digest",
         "warc_file", "record_offset", "record_length",
     )
+
+
+def robots_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Politeness bootstrap from a crawl archive: the ``/robots.txt``
+    response records of a WARC glob → the engine's ROBOTS_TXT table
+    (host, body), ready for ``init_host_state`` / ``crawl(..., robots=)``.
+    Host comes from the same RFC-3986 kernel as the frontier; non-2xx
+    robots fetches are treated as absent (default-allow), per the de
+    facto crawler convention. One body per host (min-url tie-break keeps
+    the result deterministic if an archive carries duplicates)."""
+    from .frontier import with_canonical
+
+    pages = warc_pages(spark, path).filter(
+        (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    )
+    robots = with_canonical(pages, jvm_fast=False).filter(
+        F.col("url_norm").endswith("/robots.txt")
+    )
+    return (
+        robots.select(
+            "host",
+            F.struct("url_norm", F.col("html").cast("string").alias("body"))
+            .alias("_r"),
+        )
+        .groupBy("host")
+        .agg(F.min("_r").alias("_r"))
+        .select("host", F.col("_r.body").alias("body"))
+    )

@@ -280,3 +280,63 @@ def test_warc_index_spark(spark, tmp_path):
         F.col("h2") != F.col("url_hash")
     )
     assert chk.count() == 0
+
+
+def test_robots_from_warc_and_crawl_over_warc_corpus(spark, tmp_path):
+    """End-to-end: a WARC archive becomes BOTH the pages corpus
+    (warc_corpus → keyed_pages) and the politeness bootstrap
+    (robots_from_warc), and the real crawl loop runs over them — proving
+    the ingest path plugs into the engine with no adapters."""
+    from spiderspark.crawl import CrawlConfig, keyed_pages
+    from spiderspark.politeness import HostPolicy
+    from spiderspark.schemas import SEEDS
+    from spiderspark.warc import robots_from_warc, warc_corpus
+
+    # archive = the synthetic fixture + one robots.txt response per host w0/w1
+    recs_gz = synthetic_warc_bytes(24)
+    robots_recs = build_warc(
+        [
+            build_warc_record(
+                "response",
+                build_http_response(
+                    200, "OK", headers=[("Content-Type", "text/plain")],
+                    body=b"User-agent: *\nDisallow: /p/7\n",
+                ),
+                url="http://w0.example/robots.txt",
+                gzip_member=True,
+            ),
+            build_warc_record(
+                "response",
+                build_http_response(404, "NF", body=b"absent"),
+                url="http://w1.example/robots.txt",
+                gzip_member=True,
+            ),
+        ]
+    )
+    (tmp_path / "a.warc.gz").write_bytes(recs_gz)
+    (tmp_path / "b.warc.gz").write_bytes(robots_recs)
+    glob = os.path.join(str(tmp_path), "*.warc.gz")
+
+    robots = robots_from_warc(spark, glob)
+    rows = {r["host"]: r["body"] for r in robots.collect()}
+    assert rows == {"w0.example": "User-agent: *\nDisallow: /p/7\n"}  # 404 absent
+
+    corpus = warc_corpus(spark, glob)
+    pk = keyed_pages(corpus, n_parts=4)
+    # seeds: every archived page url (the continuation-crawl shape)
+    seeds = spark.createDataFrame(
+        [(f"http://w{i % 7}.example/p/{i}", 1.0) for i in range(24)],
+        schema=SEEDS,
+    )
+    config = CrawlConfig(policy=HostPolicy(default_budget=1e9), state_buckets=4)
+    from spiderspark.crawl import crawl_round, init_state
+
+    state = init_state(spark, seeds, robots, config)
+    state, sched, log = crawl_round(spark, state, pk, config)
+    urls = {r["url"] for r in sched.collect()}
+    assert "http://w0.example/p/7" not in urls  # robots-disallowed
+    assert "http://w0.example/p/0" in urls
+    fetched = {
+        r["url_hash"] for r in log.filter("status = 'fetched'").collect()
+    }
+    assert fetched, "WARC-derived corpus must satisfy the fetch join"
