@@ -468,10 +468,15 @@ def iter_warc_spans(buf: bytes):
             yield pos, consumed, parse_warc(body)
             pos += consumed
         return
+    # plain .warc: frame on Content-Length exactly like parse_warc (a byte
+    # scan for the next b"WARC/" would split on bodies that CONTAIN it)
     pos = 0
     while pos < len(buf):
-        nxt = buf.find(b"WARC/", pos + 1)
-        end = nxt if nxt != -1 else len(buf)
+        if buf[pos : pos + 5] != b"WARC/":
+            raise ValueError(f"bad record header at byte {pos}")
+        ver_end = buf.index(_CRLF, pos)
+        headers, body_pos = _parse_headers(buf, ver_end + 2)
+        end = body_pos + int(headers["content-length"]) + 4  # CRLF CRLF
         yield pos, end - pos, parse_warc(buf[pos:end])
         pos = end
 

@@ -340,3 +340,26 @@ def test_robots_from_warc_and_crawl_over_warc_corpus(spark, tmp_path):
         r["url_hash"] for r in log.filter("status = 'fetched'").collect()
     }
     assert fetched, "WARC-derived corpus must satisfy the fetch join"
+
+
+def test_iter_warc_spans_body_containing_warc_magic():
+    """A record whose BODY contains b'WARC/1.0' must not split the span
+    walk (Content-Length framing, not byte scanning)."""
+    from spiderspark.warc import iter_warc_spans
+
+    tricky = b"see WARC/1.0\r\n\r\nWARC/1.0 spec text"
+    buf = build_warc(
+        [
+            build_warc_record(
+                "response", build_http_response(body=tricky), url="http://a/"
+            ),
+            build_warc_record(
+                "response", build_http_response(body=b"next"), url="http://b/"
+            ),
+        ]
+    )
+    spans = list(iter_warc_spans(buf))
+    assert len(spans) == 2
+    assert spans[0][2][0]["html"] == tricky
+    assert spans[1][2][0]["url"] == "http://b/"
+    assert spans[1][0] + spans[1][1] == len(buf)
