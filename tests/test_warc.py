@@ -363,3 +363,49 @@ def test_iter_warc_spans_body_containing_warc_magic():
     assert spans[0][2][0]["html"] == tricky
     assert spans[1][2][0]["url"] == "http://b/"
     assert spans[1][0] + spans[1][1] == len(buf)
+
+
+def test_warc_pages_split_matches_whole_file(spark, tmp_path):
+    """Byte-range split ingest == one-task-per-file ingest, row for row,
+    across many chunk boundaries (4 KB splits over a ~60 KB archive whose
+    bodies embed gzip magic bytes to stress the resync verifier)."""
+    from spiderspark.warc import warc_pages_split
+
+    recs = []
+    for i in range(150):
+        body = (b"\x1f\x8b\x08 fake magic " * (i % 4)) + (
+            f"<html>big {i}</html>".encode() * (1 + i % 7)
+        )
+        recs.append(
+            build_warc_record(
+                "response",
+                build_http_response(
+                    body=body, chunked=i % 3 == 0, gzip_body=i % 5 == 0
+                ),
+                url=f"http://big.example/p/{i}",
+                gzip_member=True,
+            )
+        )
+    buf = build_warc(recs)
+    p = tmp_path / "big.warc.gz"
+    p.write_bytes(buf)
+    whole = warc_pages(spark, str(p)).select("url", "html").collect()
+    split = warc_pages_split(spark, str(p), split_bytes=4096).select(
+        "url", "html"
+    ).collect()
+    key = lambda r: (r["url"], bytes(r["html"]))  # noqa: E731
+    assert sorted(map(key, split)) == sorted(map(key, whole))
+    assert len(split) == 150
+
+
+def test_warc_pages_split_rejects_plain_warc(spark, tmp_path):
+    from spiderspark.warc import warc_pages_split
+
+    p = tmp_path / "plain.warc"
+    p.write_bytes(
+        build_warc_record(
+            "response", build_http_response(body=b"x"), url="http://a/"
+        )
+    )
+    with pytest.raises(ValueError, match="resync"):
+        warc_pages_split(spark, str(p))
