@@ -754,8 +754,12 @@ def mark_seen(
 
     sketch = state.sketch
     if sketch is not None:
+        import uuid
+
+        # uuid suffix: repeated seed/forget cycles must never reuse a delta
+        # path (write_sketch_delta overwrites)
         sketch_path = os.path.join(
-            state.workdir, f"sketch_seed_{batch_id:06d}_{len(sketch.paths)}"
+            state.workdir, f"sketch_seed_{uuid.uuid4().hex[:8]}"
         )
         for_sketch = (
             routed
