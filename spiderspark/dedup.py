@@ -159,9 +159,14 @@ def minhash_lsh_pairs(
     """Near-duplicate candidate pairs via MinHash banding + exact
     signature-Jaccard verification. Returns (id_a, id_b, sig_jaccard)."""
     rows_per_band = N_HASHES // n_bands
+    # persist the signatures: the banding self-join scans this plan TWICE,
+    # and without the cache both sides pay the full shingle+minhash Arrow
+    # pass (measured ~2x the query's UDF time at sf0.1). MEMORY_AND_DISK
+    # and ~520 B/doc, so at 10^9 docs the cache is ~0.5 TB across the
+    # cluster — the same O(docs) the banding exchange already moves.
     sigs = docs.select(
         F.col(id_col).alias("id"), minhash_udf(F.col(text_col)).alias("sig")
-    )
+    ).persist()
 
     # band key as ONE flat hash array + posexplode (pos IS the band id):
     # n_bands xxhash64 exprs instead of n_bands structs + a struct-array
@@ -245,7 +250,11 @@ def simhash_near_dups(
     """Hamming-≤3 pairs: bucket on 4×16-bit slices (pigeonhole: any pair
     within distance 3 agrees on ≥1 slice) → equi-join per slice, then exact
     hamming check via bit_count(xor)."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("h"))
+    # persist: the slice self-join scans this plan twice — cache the 16 B/doc
+    # signatures instead of running the simhash Arrow pass per side
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("h")
+    ).persist()
     slices = sh.select(
         "id",
         "h",
@@ -318,7 +327,7 @@ def ngram_jaccard_pairs(
                 )
             )
         ).alias("gram"),
-    )
+    ).persist()  # four consumers (sizes, doc-freq cutoff, both join sides)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
     joinable = grams
     if max_doc_freq is not None:
