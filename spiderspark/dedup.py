@@ -425,11 +425,13 @@ def embedding_near_dups(
     if method == "grid":
         w = float(np.sqrt(max(2.0 * (1.0 - threshold), 1e-9)))
         u = _unit_projections(dim, 2)
+        # persist: probes and cells both scan this plan (two evaluations of
+        # the projection dot products + the upstream read without the cache)
         banded = vecs.withColumn(
             "_b1", F.floor(_dot(F.col("_v"), _lit_vec(u[0])) / F.col("_n") / F.lit(w))
         ).withColumn(
             "_b2", F.floor(_dot(F.col("_v"), _lit_vec(u[1])) / F.col("_n") / F.lit(w))
-        )
+        ).persist()
         probes = banded.select(
             F.col("_id").alias("id_a"),
             F.col("_v").alias("_va"),
@@ -481,8 +483,11 @@ def embedding_near_dups(
             ).astype(np.int32)
             return pd.Series([row.tolist() for row in keys])
 
-        tabbed = vecs.select(
-            "_id", "_v", "_n", F.posexplode(buckets_udf(F.col("_v"))).alias("_t", "_b")
+        # persist BEFORE the explode so the self-join replays a cheap JVM
+        # explode from cache instead of the bucketing Arrow pass per side
+        keyed = vecs.withColumn("_bk", buckets_udf(F.col("_v"))).persist()
+        tabbed = keyed.select(
+            "_id", "_v", "_n", F.posexplode("_bk").alias("_t", "_b")
         )
         a = tabbed.select(
             F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
