@@ -421,10 +421,25 @@ def crawl_round(
     # 6. "fetch" (sandbox: join pages on url_hash; cluster: swap a fetching
     #    mapInPandas here) + pinned text extraction + lineage/metrics.
     #    pages is stored keyed → only the small schedule side exchanges.
+    #    r08 (guide §2.3 shuffle fewer bytes / §5; VERDICT r07 item 5): the
+    #    fat ``html`` column is DROPPED before the checkpoint — text AND
+    #    outlinks are derived in the same projection (one ArrowEvalPython
+    #    node: html crosses the Python boundary once and feeds both
+    #    kernels), plus the two scalar facts downstream steps need
+    #    (``bytes``, ``is_fetched``). The round's biggest intermediate then
+    #    stores text+outlinks instead of raw html, and every downstream
+    #    rescan (fetch_log, discovery, requeue, newly-seen) reads the
+    #    narrow derivative columns, not the page bytes.
     fetched = _materialize(
         schedule.repartition(n, "url_hash")
         .join(pages.select("url_hash", "html"), "url_hash", "left")
         .withColumn("text", extract_text_udf("html"))
+        .withColumn("outlinks", outlinks_udf("html", "url"))
+        .withColumn(
+            "bytes", F.coalesce(F.length("html"), F.lit(0)).cast("long")
+        )
+        .withColumn("is_fetched", F.col("html").isNotNull())
+        .drop("html")
     )
     # fetch_log stays LAZY: it is a pure narrow projection of the checkpoint
     # just pinned above (spark_partition_id is stable over checkpointed
@@ -436,18 +451,19 @@ def crawl_round(
         F.spark_partition_id().alias("partition_id"),
         "url_hash",
         "host",
-        F.when(F.col("html").isNull(), F.lit("missing"))
+        F.when(~F.col("is_fetched"), F.lit("missing"))
         .otherwise(F.lit("fetched"))
         .alias("status"),
-        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("bytes"),
+        "bytes",
         F.xxhash64("text").alias("text_hash"),
     )
 
     # 7. discovery: outlinks of fetched pages → frontier rows at depth+1
+    #    (already extracted pre-checkpoint; this is a pure explode)
     discovered = (
-        fetched.filter(F.col("html").isNotNull() & (F.col("depth") < config.max_depth))
+        fetched.filter(F.col("is_fetched") & (F.col("depth") < config.max_depth))
         .select(
-            F.explode(outlinks_udf("html", "url")).alias("url"),
+            F.explode("outlinks").alias("url"),
             F.col("priority").alias("parent_priority"),
             F.col("depth").alias("parent_depth"),
         )
@@ -474,7 +490,7 @@ def crawl_round(
     #    side tiny); discovered∪requeued become a deduped, seen-filtered,
     #    robots-gated delta (only the delta exchanges); the min-struct
     #    resolve against the segments is a set of co-partitioned left joins.
-    done_cond = F.col("html").isNotNull() | (
+    done_cond = F.col("is_fetched") | (
         F.col("attempt") + 1 >= F.lit(config.max_attempts)
     )
     mat = _keyed_mat(config, state.workdir)
