@@ -88,13 +88,23 @@ def langid_udf(text: pd.Series) -> pd.Series:
 
     Integer scoring against the pinned ``PROFILE_ROWS`` table, so the
     decision procedure is bit-exactly reproducible by the DuckDB oracle
-    (``langid_oracle_sql``) — no float argmax flips, no corpus files."""
+    (``langid_oracle_sql``) — no float argmax flips, no corpus files.
+
+    SUPPORTED-SET CONTRACT (not general-purpose LID): the pinned profiles
+    cover exactly ``langprof.LANGS`` = (en, de, fr, es, zh) — Latin-script
+    trigram profiles plus a CJK-share override for zh — with an ``und``
+    floor for short/empty/unprofiled input. Text in any
+    OTHER language is mapped to whichever of those labels scores best (or
+    ``und``) — by design: the table is the entire model, so extending
+    coverage means adding profile rows at the same pinned-integer standard
+    to langprof.PROFILE_ROWS (engine and oracle extend together)."""
     from .langprof import langid_series
 
     return langid_series(text)
 
 
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` — see langid_udf's supported-set contract."""
     return df.withColumn("lang_pred", langid_udf(F.col(text_col)))
 
 

@@ -90,11 +90,18 @@ def build_warc_record(
 ) -> bytes:
     """One WARC/1.0 record; ``gzip_member`` wraps it in its own gzip member
     (the Common Crawl .warc.gz convention)."""
+    import hashlib
+
     fields = [("WARC-Type", warc_type), ("WARC-Date", date)]
     if url is not None:
         fields.append(("WARC-Target-URI", url))
+    # record id from sha1, NOT Python hash(): hash() is randomized per
+    # process (PYTHONHASHSEED), which made the "pure function of n" fixture
+    # bytes differ between processes and could collide for distinct records
+    # (ADVICE r07)
+    rid = hashlib.sha1(f"{warc_type}|{url}|{date}".encode()).hexdigest()[:32]
     fields += [
-        ("WARC-Record-ID", f"<urn:uuid:{abs(hash((warc_type, url, date))):032x}>"),
+        ("WARC-Record-ID", f"<urn:uuid:{rid}>"),
         ("Content-Type", content_type),
         ("Content-Length", str(len(block))),
     ]
@@ -761,8 +768,12 @@ def robots_from_warc(spark: SparkSession, path: str) -> DataFrame:
     pages = warc_pages(spark, path).filter(
         (F.col("http_status") >= 200) & (F.col("http_status") < 300)
     )
+    # ROOT robots.txt only, anchored to scheme://host/robots.txt — a bare
+    # endswith('/robots.txt') also matched deep paths like /a/robots.txt,
+    # which could win the min-url tie-break and seed wrong rules for the
+    # host (ADVICE r07)
     robots = with_canonical(pages, jvm_fast=False).filter(
-        F.col("url_norm").endswith("/robots.txt")
+        F.col("url_norm").rlike(r"^[a-z][a-z0-9+.\-]*://[^/]*/robots\.txt$")
     )
     return (
         robots.select(
