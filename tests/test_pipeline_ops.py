@@ -270,7 +270,9 @@ def test_dedup_leaves_no_cache(spark, docs):
     calls in a long-lived session accumulated MEMORY_AND_DISK blocks
     forever. They now pin intermediates via eager localCheckpoint (released
     with the result frame), so the session CATALOG cache must stay empty
-    across calls."""
+    across calls. (Cleared first: the suite shares one session and OTHER
+    tests may leave their own legitimately-persisted frames behind.)"""
+    spark.catalog.clearCache()
     for _ in range(2):
         minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
         simhash_near_dups(docs).collect()
